@@ -1,0 +1,32 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so the full multi-chip sharding
+path compiles and executes without TPU hardware (the driver separately
+dry-runs the multichip path; the bench runs on the real chip). The env vars
+must be set before the first ``import jax`` anywhere in the process.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REFERENCE_IMAGES = "/root/reference/data/images"
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    """The bundled reference test corpus (BASELINE.md: data/images)."""
+    import glob
+    paths = sorted(glob.glob(os.path.join(REFERENCE_IMAGES, "*.jpg")))
+    assert paths, "reference image corpus not found"
+    return {os.path.splitext(os.path.basename(p))[0]: open(p, "rb").read()
+            for p in paths}
