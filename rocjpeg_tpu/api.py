@@ -1,0 +1,192 @@
+"""Session API — the TPU-native mirror of the 9-function rocJPEG C API.
+
+Mapping (reference api/rocjpeg.h:204-343, src/rocjpeg_api.cpp):
+
+- ``rocJpegStreamCreate/Parse/Destroy`` → :class:`JpegStream` (ctor / ``parse``
+  / GC), wrapping the parser session like RocJpegStreamParserHandle
+  (src/rocjpeg_api_stream_handle.h:37-81).
+- ``rocJpegCreate/Destroy``            → :class:`Decoder` ctor / GC, like
+  RocJpegDecoderHandle (src/rocjpeg_api_decoder_handle.h:36-86).
+- ``rocJpegGetImageInfo``              → :meth:`Decoder.get_image_info`
+  (semantics of src/rocjpeg_decoder.cpp:307-358).
+- ``rocJpegDecode``                    → :meth:`Decoder.decode`
+  (src/rocjpeg_decoder.cpp:104-185).
+- ``rocJpegDecodeBatched``             → :meth:`Decoder.decode_batched`
+  (src/rocjpeg_decoder.cpp:196-292).
+- ``rocJpegGetErrorName``              → :func:`rocjpeg_tpu.status.get_error_name`.
+
+Architecture: the host entropy front-end (runtime/host_decode) produces
+coefficient planes; the jitted XLA pipeline (pipeline.py) does dequant,
+IDCT, upsampling, color conversion, and layout on device. Where the
+reference chunks a batch by ``num_jpeg_cores`` (decoder.cpp:208-218), this
+framework groups the whole batch by shape (the JpegStreamKey idea,
+vaapi_decoder.h:223-265) and decodes each group as one batched XLA program —
+the TPU's "cores" are the lanes of a single fused kernel.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import List, Optional, Sequence
+
+import jax
+
+from .core.bitstream import JpegStreamParams, JpegStreamParser
+from .pipeline import decode_group
+from .runtime import host_decode
+from .status import RocJpegError, Status
+from .types import (Backend, ChromaSubsampling, CropRectangle, DecodedImage,
+                    DecodeParams, ImageInfo, OutputFormat, TpuDecodeSpec)
+
+CSS = ChromaSubsampling
+
+
+class JpegStream:
+    """A parsed-JPEG session handle (RocJpegStreamHandle analog)."""
+
+    def __init__(self, data: Optional[bytes] = None):
+        self._parser = JpegStreamParser()
+        self._parsed = False
+        if data is not None:
+            self.parse(data)
+
+    def parse(self, data: bytes) -> "JpegStream":
+        """rocJpegStreamParse analog; raises RocJpegError(BAD_JPEG) on
+        malformed input."""
+        self._parser.parse(data)
+        self._parsed = True
+        return self
+
+    @property
+    def params(self) -> JpegStreamParams:
+        return self._parser.params
+
+
+class Decoder:
+    """A decode session handle (RocJpegHandle analog).
+
+    Unlike the reference handle — which serializes all decodes behind a
+    mutex (decoder.cpp:105) — a Decoder is safe for concurrent use; only
+    spec/device state is shared and it is immutable after init.
+    """
+
+    def __init__(self, backend: Backend = Backend.HARDWARE, device_id: int = 0,
+                 spec: Optional[TpuDecodeSpec] = None):
+        if backend == Backend.HYBRID:
+            # Reference parity: HYBRID is NOT_IMPLEMENTED
+            # (src/rocjpeg_decoder.cpp:84-88).
+            raise RocJpegError(Status.NOT_IMPLEMENTED,
+                               "HYBRID backend is not implemented")
+        if backend != Backend.HARDWARE:
+            raise RocJpegError(Status.INVALID_PARAMETER, "unknown backend")
+        devices = jax.devices()
+        if device_id < 0 or device_id >= len(devices):
+            # InitHIP device-count check (decoder.cpp:48-57).
+            raise RocJpegError(
+                Status.NOT_INITIALIZED,
+                f"device_id {device_id} out of range ({len(devices)} devices)")
+        self._device = devices[device_id]
+        self._spec = spec or TpuDecodeSpec(name=str(self._device.platform))
+        self._lock = threading.Lock()
+
+    @property
+    def spec(self) -> TpuDecodeSpec:
+        """GetCurrentVcnJpegSpec analog (vaapi_decoder.h:337)."""
+        return self._spec
+
+    # ------------------------------------------------------------------
+    def get_image_info(self, stream: JpegStream) -> ImageInfo:
+        """rocJpegGetImageInfo analog; exact channel-dimension semantics of
+        src/rocjpeg_decoder.cpp:307-358 (floor-divided chroma dims, zeroed
+        channels for 4:0:0, 4:1:1 reported with quarter-width chroma)."""
+        if stream is None:
+            raise RocJpegError(Status.INVALID_PARAMETER, "stream is None")
+        p = stream.params
+        w0, h0 = p.picture_width, p.picture_height
+        widths = [w0, 0, 0, 0]
+        heights = [h0, 0, 0, 0]
+        css = p.chroma_subsampling
+        if css == CSS.CSS_444:
+            widths[1] = widths[2] = w0
+            heights[1] = heights[2] = h0
+        elif css == CSS.CSS_440:
+            widths[1] = widths[2] = w0
+            heights[1] = heights[2] = h0 >> 1
+        elif css == CSS.CSS_422:
+            widths[1] = widths[2] = w0 >> 1
+            heights[1] = heights[2] = h0
+        elif css == CSS.CSS_420:
+            widths[1] = widths[2] = w0 >> 1
+            heights[1] = heights[2] = h0 >> 1
+        elif css == CSS.CSS_411:
+            widths[1] = widths[2] = w0 >> 2
+            heights[1] = heights[2] = h0
+        # CSS_400 / UNKNOWN leave chroma zeroed.
+        return ImageInfo(num_components=p.num_components, subsampling=css,
+                         widths=tuple(widths), heights=tuple(heights))
+
+    # ------------------------------------------------------------------
+    def _validate(self, p: JpegStreamParams) -> None:
+        """Resolution/subsampling validation, mirroring SubmitDecode
+        (vaapi_decoder.cpp:586-592 and the surface-format switch default)."""
+        s = self._spec
+        if (p.picture_width < s.min_width or p.picture_height < s.min_height
+                or p.picture_width > s.max_width
+                or p.picture_height > s.max_height):
+            raise RocJpegError(Status.JPEG_NOT_SUPPORTED,
+                               "the JPEG image resolution is not supported")
+        if p.chroma_subsampling in (CSS.CSS_411, CSS.CSS_UNKNOWN):
+            raise RocJpegError(Status.JPEG_NOT_SUPPORTED,
+                               "the chroma subsampling is not supported")
+
+    def decode(self, stream: JpegStream,
+               params: Optional[DecodeParams] = None) -> DecodedImage:
+        """rocJpegDecode analog. Returns a DecodedImage whose channels are
+        device (JAX) arrays; use np.asarray to fetch to host."""
+        return self.decode_batched([stream], params)[0]
+
+    def decode_batched(self, streams: Sequence[JpegStream],
+                       params: Optional[DecodeParams] = None
+                       ) -> List[DecodedImage]:
+        """rocJpegDecodeBatched analog: shape-group the batch, entropy-decode
+        on the host (threaded native backend), run one batched XLA program
+        per group."""
+        if streams is None or any(s is None for s in streams):
+            raise RocJpegError(Status.INVALID_PARAMETER, "null stream handle")
+        params = params or DecodeParams()
+        fmt = OutputFormat(params.output_format)
+        stream_params = [s.params for s in streams]
+        for p in stream_params:
+            self._validate(p)
+
+        # Shape grouping (JpegStreamKey analog: css + dims; quant/huffman
+        # tables are data, not shape).
+        groups = {}
+        for idx, p in enumerate(stream_params):
+            key = (p.chroma_subsampling, p.picture_width, p.picture_height,
+                   tuple(c.h_sampling_factor for c in p.components),
+                   tuple(c.v_sampling_factor for c in p.components))
+            groups.setdefault(key, []).append(idx)
+
+        results: List[Optional[DecodedImage]] = [None] * len(streams)
+        with jax.default_device(self._device):
+            for key, idxs in groups.items():
+                plist = [stream_params[i] for i in idxs]
+                # Normalize the crop per group: an invalid ROI decodes the
+                # full image (decoder.cpp:123-131) and must not create extra
+                # jit-cache entries.
+                p0 = plist[0]
+                crop = params.crop_rectangle
+                if crop is not None and not (
+                        0 < crop.width <= p0.picture_width
+                        and 0 < crop.height <= p0.picture_height):
+                    crop = None
+                coeffs = host_decode.decode_coefficients_batch(plist)
+                per_image = decode_group(plist, coeffs, fmt, crop)
+                for i, chans in zip(idxs, per_image):
+                    img = DecodedImage.empty()
+                    for ci, (arr, pitch) in enumerate(chans):
+                        img.channel[ci] = arr
+                        img.pitch[ci] = pitch
+                    results[i] = img
+        return results

@@ -374,6 +374,11 @@ def classify_subsampling(c1h: int, c2h: int, c3h: int,
         return ChromaSubsampling.CSS_420
     if f == (4, 1, 1, 1, 1, 1):
         return ChromaSubsampling.CSS_411
-    if f in ((1, 0, 0, 1, 0, 0), (4, 0, 0, 4, 0, 0)):
+    if c2h == 0 and c3h == 0 and c2v == 0 and c3v == 0 and c1h > 0 and c1v > 0:
+        # Single-component streams are 4:0:0 for any luma sampling factor.
+        # Superset of the reference table, which lists only the 1x1 and 4x4
+        # variants (parser.cpp:462-466) and mislabels e.g. 2x2 grayscale —
+        # as written by libjpeg when asked for subsampled grayscale — as
+        # UNKNOWN. Strictly more JPEGs decode; none decode differently.
         return ChromaSubsampling.CSS_400
     return ChromaSubsampling.CSS_UNKNOWN

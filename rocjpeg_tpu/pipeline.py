@@ -1,0 +1,169 @@
+"""Jitted TPU decode pipeline: coefficient planes → output-format arrays.
+
+This is the device-side half of the framework — the TPU-native replacement
+for everything the reference runs on the VCN ASIC plus its HIP post-process
+kernels (src/rocjpeg_hip_kernels.cpp): dequantization, 8x8 IDCT, chroma
+upsampling, color conversion, and output-format layout, fused into one XLA
+program per static configuration.
+
+Shape policy (the XLA analog of the reference's JpegStreamKey grouping,
+src/rocjpeg_vaapi_decoder.h:223-265): one compiled executable per
+(subsampling, padded-plane-geometry, output format, crop, batch-bucket).
+Batches are padded to power-of-two buckets so the jit cache stays small
+while arbitrary batch sizes run without recompiling.
+
+All math is int32/uint8 elementwise (VPU work); the dequant+IDCT hot loop
+also has a Pallas implementation in rocjpeg_tpu/kernels/ selected by
+``use_pallas``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.bitstream import JpegStreamParams
+from .core.zigzag import dezigzag
+from .ops import idct as idct_ops
+from .ops import layout, postprocess
+from .status import RocJpegError, Status
+from .types import ChromaSubsampling, CropRectangle, OutputFormat
+
+CSS = ChromaSubsampling
+
+
+def _plane_from_coeffs(coeffs, quant):
+    """(B, bh, bw, 64) int16 coeffs + (B, 64) quant → (B, bh*8, bw*8) uint8."""
+    b = coeffs.shape[0]
+    blocks = coeffs.reshape(coeffs.shape[:-1] + (8, 8))
+    q = quant.reshape(b, 1, 1, 8, 8)
+    samples = idct_ops.dequant_idct_8x8(jnp, blocks, q)
+    return layout.blocks_to_plane(jnp, samples)
+
+
+@functools.lru_cache(maxsize=256)
+def compiled_decode(css: ChromaSubsampling, width: int, height: int,
+                    luma_blocks: Tuple[int, int],
+                    chroma_blocks: Optional[Tuple[int, int]],
+                    output_format: OutputFormat,
+                    crop: Optional[tuple]) -> callable:
+    """Build + cache the jitted decode program for one static config.
+
+    Returns fn(y_coeffs, u_coeffs, v_coeffs, qy, qu, qv) -> tuple of channel
+    arrays (leading batch axis). Chroma args are ignored for 4:0:0.
+    """
+    crop_rect = CropRectangle(*crop) if crop is not None else None
+
+    def fn(y_coeffs, u_coeffs, v_coeffs, qy, qu, qv):
+        y = _plane_from_coeffs(y_coeffs, qy)
+        if css == CSS.CSS_400 or chroma_blocks is None:
+            planes = (y, None, None)
+        else:
+            u = _plane_from_coeffs(u_coeffs, qu)
+            v = _plane_from_coeffs(v_coeffs, qv)
+            planes = (y, u, v)
+        chans = postprocess.render_output(
+            jnp, css, planes, width, height, output_format, crop_rect)
+        return tuple(arr for arr, _pitch in chans)
+
+    return jax.jit(fn)
+
+
+def output_pitches(css: ChromaSubsampling, width: int, height: int,
+                   output_format: OutputFormat,
+                   crop: Optional[CropRectangle]) -> list:
+    """Pitches for each returned channel (static metadata, computed on host)."""
+    eff_w, eff_h, _, _ = postprocess.resolve_roi(width, height, crop)
+    fmt = OutputFormat(output_format)
+    if css == CSS.CSS_400:
+        if fmt == OutputFormat.RGB:
+            return [3 * eff_w]
+        if fmt == OutputFormat.RGB_PLANAR:
+            return [eff_w] * 3
+        return [eff_w]
+    hf, vf = postprocess.CHROMA_FACTORS[css]
+    if fmt == OutputFormat.NATIVE:
+        if css == CSS.CSS_422:
+            return [2 * eff_w]
+        if css == CSS.CSS_420:
+            return [eff_w, eff_w]
+        return [eff_w] * 3
+    if fmt == OutputFormat.YUV_PLANAR:
+        return [eff_w, eff_w // hf, eff_w // hf]
+    if fmt == OutputFormat.Y:
+        return [eff_w]
+    if fmt == OutputFormat.RGB:
+        return [3 * eff_w]
+    if fmt == OutputFormat.RGB_PLANAR:
+        return [eff_w] * 3
+    raise RocJpegError(Status.INVALID_PARAMETER, f"bad format {output_format}")
+
+
+def bucket_batch(n: int) -> int:
+    """Round batch size up to a power-of-two bucket (min 1) to bound the
+    compile cache — the static-shape analog of the reference's per-group
+    vaCreateSurfaces (vaapi_decoder.cpp:774-834)."""
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
+def stack_group_inputs(params_list, coeff_planes_list, pad_to: int):
+    """Stack per-image host coefficient planes + quant tables for one shape
+    group into batch arrays, padding the batch axis to ``pad_to`` by
+    repeating the first image (results for pad rows are discarded)."""
+    n = len(params_list)
+    ncomp = params_list[0].num_components
+
+    def stacked(ci):
+        arrs = [cp[ci] for cp in coeff_planes_list]
+        arrs += [arrs[0]] * (pad_to - n)
+        return np.stack(arrs)
+
+    def qtabs(ci):
+        rows = []
+        for p in params_list:
+            qid = p.components[ci].quantiser_table_selector
+            rows.append(dezigzag(p.quantiser_tables[qid].astype(np.int32)))
+        rows += [rows[0]] * (pad_to - n)
+        return np.stack(rows)
+
+    y = stacked(0)
+    qy = qtabs(0)
+    if ncomp >= 3:
+        return y, stacked(1), stacked(2), qy, qtabs(1), qtabs(2)
+    z = np.zeros((pad_to, 1, 1, 64), np.int16)
+    zq = np.ones((pad_to, 64), np.int32)
+    return y, z, z, qy, zq, zq
+
+
+def decode_group(params_list, coeff_planes_list,
+                 output_format: OutputFormat,
+                 crop: Optional[CropRectangle] = None):
+    """Decode one same-shape group on device. Returns per-image lists of
+    (array, pitch) channels (device arrays, batch axis stripped)."""
+    p0 = params_list[0]
+    css = p0.chroma_subsampling
+    n = len(params_list)
+    pad_to = bucket_batch(n)
+
+    y, u, v, qy, qu, qv = stack_group_inputs(params_list, coeff_planes_list, pad_to)
+    luma_blocks = p0.component_block_dims(0)
+    chroma_blocks = p0.component_block_dims(1) if p0.num_components >= 3 else None
+    crop_key = (crop.left, crop.top, crop.right, crop.bottom) if crop else None
+
+    fn = compiled_decode(css, p0.picture_width, p0.picture_height,
+                         luma_blocks, chroma_blocks, OutputFormat(output_format),
+                         crop_key)
+    outs = fn(y, u, v, qy, qu, qv)
+    pitches = output_pitches(css, p0.picture_width, p0.picture_height,
+                             output_format, crop)
+    per_image = []
+    for i in range(n):
+        per_image.append([(arr[i], pitch) for arr, pitch in zip(outs, pitches)])
+    return per_image
