@@ -1,0 +1,310 @@
+// Native host entropy decoder for rocjpeg_tpu.
+//
+// TPU-native equivalent of the reference's native CPU front-end: rocJPEG
+// parses on the CPU (src/rocjpeg_parser.cpp) and entropy-decodes in the VCN
+// ASIC; here baseline Huffman decode runs on host cores, parallelized over
+// restart-interval segments (the DC predictor resets at every RSTn marker,
+// making segments independent — the same property the reference forwards to
+// hardware via slice_parameter_buffer.restart_interval, parser.cpp:374-390).
+//
+// Contract: bit-exact with the Python oracle in rocjpeg_tpu/core/entropy.py
+// (same 16-bit-window LUT walk, same EXTEND semantics, natural-order int16
+// output planes). Exposed as a C ABI consumed via ctypes from
+// rocjpeg_tpu/runtime/native.py.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC -pthread (see csrc/build.py).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kMaxComponents = 3;
+constexpr int kMaxTables = 4;
+
+// Natural index of the k-th zigzag coefficient (ITU-T T.81 Figure 5).
+constexpr uint8_t kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct DecodeLut {
+  // Indexed by the next 16 scan bits: symbol + code length (0 = invalid).
+  std::vector<uint8_t> sym;
+  std::vector<uint8_t> len;
+
+  int build(const uint8_t* bits, const uint8_t* values) {
+    sym.assign(1u << 16, 0);
+    len.assign(1u << 16, 0);
+    uint32_t code = 0;
+    int k = 0;
+    for (int length = 1; length <= 16; ++length) {
+      for (int i = 0; i < bits[length - 1]; ++i) {
+        if (code >= (1u << length)) return -1;  // overlong code
+        uint32_t lo = code << (16 - length);
+        uint32_t hi = lo + (1u << (16 - length));
+        std::memset(sym.data() + lo, values[k], hi - lo);
+        std::memset(len.data() + lo, length, hi - lo);
+        ++code;
+        ++k;
+      }
+      code <<= 1;
+    }
+    return 0;
+  }
+};
+
+// MSB-first bit reader over stuffed entropy data: 0xFF00 yields a literal
+// 0xFF; 0xFF followed by anything else ends the segment (marker).
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t acc = 0;
+  int bits = 0;
+  long overrun = 0;  // bytes of zero padding shifted in past the end
+
+  BitReader(const uint8_t* data, size_t n) : p(data), end(data + n) {}
+
+  inline void refill() {
+    while (bits <= 56) {
+      uint8_t b = 0;
+      if (p < end) {
+        b = *p++;
+        if (b == 0xFF) {
+          if (p < end && *p == 0x00) {
+            ++p;  // stuffed byte
+          } else {
+            // Marker: stop consuming; feed zeros (decode should be done).
+            --p;
+            b = 0;
+            ++overrun;
+          }
+        }
+      } else {
+        ++overrun;
+      }
+      acc = (acc << 8) | b;
+      bits += 8;
+    }
+  }
+
+  inline uint32_t peek16() {
+    refill();
+    return (uint32_t)((acc >> (bits - 16)) & 0xFFFF);
+  }
+
+  inline void skip(int n) { bits -= n; }
+
+  inline int32_t get_bits(int n) {
+    refill();
+    bits -= n;
+    return (int32_t)((acc >> bits) & ((1u << n) - 1));
+  }
+};
+
+inline int32_t extend(int32_t v, int s) {
+  // T.81 F.2.2.1 EXTEND.
+  return (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// One scan-decode job; caller (Python) fills pointers from parsed params and
+// preallocated output arrays. All geometry is precomputed host-side.
+struct RjtScanJob {
+  const uint8_t* scan;
+  long scan_len;
+  int restart_interval;
+  int num_components;   // components in the scan
+  int interleaved;      // 0 => single-component raster (MCU = 1 block)
+  int mcus_w;
+  int total_mcus;
+  // Per scan component:
+  int h_samp[kMaxComponents];
+  int v_samp[kMaxComponents];
+  int dc_table[kMaxComponents];
+  int ac_table[kMaxComponents];
+  // Huffman table data per table id (bits: 16 entries; values: <=162):
+  const uint8_t* dc_bits[kMaxTables];
+  const uint8_t* dc_values[kMaxTables];
+  const uint8_t* ac_bits[kMaxTables];
+  const uint8_t* ac_values[kMaxTables];
+  // Output planes, natural-order int16, shape (out_bh, out_bw, 64):
+  int16_t* out[kMaxComponents];
+  int out_bw[kMaxComponents];
+  int num_threads;
+};
+
+// Error codes (mapped to Status.BAD_JPEG on the Python side).
+enum {
+  RJT_OK = 0,
+  RJT_BAD_HUFFMAN_TABLE = 1,
+  RJT_INVALID_CODE = 2,
+  RJT_AC_OVERFLOW = 3,
+  RJT_SCAN_EXHAUSTED = 4,
+  RJT_BAD_SEGMENTS = 5,
+};
+
+namespace {
+
+struct BlockPlanEntry {
+  int comp;
+  int dy;  // block row offset within MCU
+  int dx;  // block col offset within MCU
+  const DecodeLut* dc;
+  const DecodeLut* ac;
+};
+
+// Decode MCUs [mcu_begin, mcu_end) from one entropy segment.
+int decode_segment(const RjtScanJob& job,
+                   const std::vector<BlockPlanEntry>& plan,
+                   const uint8_t* seg, size_t seg_len, int mcu_begin,
+                   int mcu_end) {
+  BitReader br(seg, seg_len);
+  int32_t dc_pred[kMaxComponents] = {0, 0, 0};
+  for (int m = mcu_begin; m < mcu_end; ++m) {
+    int my = m / job.mcus_w;
+    int mx = m % job.mcus_w;
+    for (const auto& pe : plan) {
+      int ci = pe.comp;
+      int vs = job.interleaved ? job.v_samp[ci] : 1;
+      int hs = job.interleaved ? job.h_samp[ci] : 1;
+      int by = my * vs + pe.dy;
+      int bx = mx * hs + pe.dx;
+      int16_t* out = job.out[ci] + ((long)by * job.out_bw[ci] + bx) * 64;
+      std::memset(out, 0, 64 * sizeof(int16_t));
+
+      // DC coefficient.
+      uint32_t w = br.peek16();
+      int s = pe.dc->sym[w];
+      int length = pe.dc->len[w];
+      if (length == 0) return RJT_INVALID_CODE;
+      br.skip(length);
+      int32_t diff = s ? extend(br.get_bits(s), s) : 0;
+      dc_pred[ci] += diff;
+      out[0] = (int16_t)dc_pred[ci];
+
+      // AC coefficients.
+      int k = 1;
+      while (k < 64) {
+        w = br.peek16();
+        int rs = pe.ac->sym[w];
+        length = pe.ac->len[w];
+        if (length == 0) return RJT_INVALID_CODE;
+        br.skip(length);
+        int r = rs >> 4;
+        int size = rs & 15;
+        if (size == 0) {
+          if (r != 15) break;  // EOB
+          k += 16;             // ZRL
+        } else {
+          k += r;
+          if (k > 63) return RJT_AC_OVERFLOW;
+          out[kZigzag[k]] = (int16_t)extend(br.get_bits(size), size);
+          ++k;
+        }
+      }
+      if (br.overrun > 8) return RJT_SCAN_EXHAUSTED;
+    }
+  }
+  return RJT_OK;
+}
+
+}  // namespace
+
+int rjt_decode_scan(const RjtScanJob* jobp) {
+  const RjtScanJob& job = *jobp;
+
+  // Compile Huffman LUTs for the table ids used by the scan.
+  DecodeLut dc_luts[kMaxTables], ac_luts[kMaxTables];
+  bool built[kMaxTables] = {false, false, false, false};
+  for (int c = 0; c < job.num_components; ++c) {
+    for (int which = 0; which < 2; ++which) {
+      int tid = which ? job.ac_table[c] : job.dc_table[c];
+      if (tid < 0 || tid >= kMaxTables) return RJT_BAD_HUFFMAN_TABLE;
+      if (!built[tid]) {
+        if (!job.dc_bits[tid] || !job.ac_bits[tid])
+          return RJT_BAD_HUFFMAN_TABLE;
+        if (dc_luts[tid].build(job.dc_bits[tid], job.dc_values[tid]) ||
+            ac_luts[tid].build(job.ac_bits[tid], job.ac_values[tid]))
+          return RJT_BAD_HUFFMAN_TABLE;
+        built[tid] = true;
+      }
+    }
+  }
+
+  // Block plan for one MCU.
+  std::vector<BlockPlanEntry> plan;
+  if (job.interleaved) {
+    for (int c = 0; c < job.num_components; ++c)
+      for (int v = 0; v < job.v_samp[c]; ++v)
+        for (int u = 0; u < job.h_samp[c]; ++u)
+          plan.push_back({c, v, u, &dc_luts[job.dc_table[c]],
+                          &ac_luts[job.ac_table[c]]});
+  } else {
+    plan.push_back(
+        {0, 0, 0, &dc_luts[job.dc_table[0]], &ac_luts[job.ac_table[0]]});
+  }
+
+  // Split the scan at RSTn markers (0xFFD0..0xFFD7). 0xFF00 is data.
+  struct Seg {
+    const uint8_t* p;
+    size_t len;
+  };
+  std::vector<Seg> segs;
+  {
+    const uint8_t* s = job.scan;
+    const uint8_t* end = s + job.scan_len;
+    const uint8_t* seg_start = s;
+    while (s + 1 < end) {
+      if (s[0] == 0xFF && s[1] >= 0xD0 && s[1] <= 0xD7) {
+        segs.push_back({seg_start, (size_t)(s - seg_start)});
+        s += 2;
+        seg_start = s;
+      } else {
+        ++s;
+      }
+    }
+    segs.push_back({seg_start, (size_t)(end - seg_start)});
+  }
+
+  int ri = job.restart_interval > 0 ? job.restart_interval : job.total_mcus;
+  int needed = ri > 0 ? (job.total_mcus + ri - 1) / ri : 1;
+  if (needed <= 0) needed = 1;
+  if ((int)segs.size() < needed) return RJT_BAD_SEGMENTS;
+
+  // Decode segments in parallel; segment i covers MCUs [i*ri, min(...)).
+  int nthreads = job.num_threads > 0 ? job.num_threads : 1;
+  if (nthreads > needed) nthreads = needed;
+  std::atomic<int> next(0);
+  std::atomic<int> status(RJT_OK);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= needed || status.load() != RJT_OK) return;
+      int mcu_begin = i * ri;
+      int mcu_end = std::min((i + 1) * ri, job.total_mcus);
+      int rc = decode_segment(job, plan, segs[i].p, segs[i].len, mcu_begin,
+                              mcu_end);
+      if (rc != RJT_OK) status.store(rc);
+    }
+  };
+  if (nthreads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return status.load();
+}
+
+int rjt_version() { return 1; }
+
+}  // extern "C"

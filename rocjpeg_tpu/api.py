@@ -71,7 +71,12 @@ class Decoder:
     """
 
     def __init__(self, backend: Backend = Backend.HARDWARE, device_id: int = 0,
-                 spec: Optional[TpuDecodeSpec] = None):
+                 spec: Optional[TpuDecodeSpec] = None,
+                 device_entropy: str = "auto"):
+        """device_entropy: 'on' | 'off' | 'auto'. 'on' runs Huffman decode
+        on-chip (ops/device_entropy.py) whenever the group's images share
+        Huffman tables; 'auto' additionally requires enough restart segments
+        (>= 64) for the wave to pay off; 'off' always uses the host path."""
         if backend == Backend.HYBRID:
             # Reference parity: HYBRID is NOT_IMPLEMENTED
             # (src/rocjpeg_decoder.cpp:84-88).
@@ -87,6 +92,10 @@ class Decoder:
                 f"device_id {device_id} out of range ({len(devices)} devices)")
         self._device = devices[device_id]
         self._spec = spec or TpuDecodeSpec(name=str(self._device.platform))
+        if device_entropy not in ("on", "off", "auto"):
+            raise RocJpegError(Status.INVALID_PARAMETER,
+                               f"bad device_entropy mode {device_entropy!r}")
+        self._device_entropy = device_entropy
         self._lock = threading.Lock()
 
     @property
@@ -139,6 +148,21 @@ class Decoder:
             raise RocJpegError(Status.JPEG_NOT_SUPPORTED,
                                "the chroma subsampling is not supported")
 
+    def _group_device_eligible(self, plist) -> bool:
+        """Whether the on-device entropy wave should decode this group."""
+        if self._device_entropy == "on":
+            return True
+        # 'auto': worth it only with enough parallel lanes (restart segments
+        # across the group), else the host path wins.
+        segs = 0
+        for p in plist:
+            interleaved = len(p.scan_components) > 1
+            total = p.num_mcus if interleaved else (
+                ((p.picture_width + 7) // 8) * ((p.picture_height + 7) // 8))
+            ri = p.restart_interval if p.restart_interval > 0 else total
+            segs += (total + ri - 1) // ri
+        return segs >= 64
+
     def decode(self, stream: JpegStream,
                params: Optional[DecodeParams] = None) -> DecodedImage:
         """rocJpegDecode analog. Returns a DecodedImage whose channels are
@@ -159,13 +183,21 @@ class Decoder:
         for p in stream_params:
             self._validate(p)
 
-        # Shape grouping (JpegStreamKey analog: css + dims; quant/huffman
-        # tables are data, not shape).
+        # Shape grouping (JpegStreamKey analog: css + dims; quant tables are
+        # data, not shape). The device-entropy path additionally groups by
+        # Huffman-table digest, since a wave shares decode tables.
+        use_dev = self._device_entropy != "off"
         groups = {}
+        digests = {}
         for idx, p in enumerate(stream_params):
             key = (p.chroma_subsampling, p.picture_width, p.picture_height,
                    tuple(c.h_sampling_factor for c in p.components),
                    tuple(c.v_sampling_factor for c in p.components))
+            if use_dev:
+                if idx not in digests:
+                    from .ops.device_entropy import DeviceScanTables
+                    digests[idx] = hash(DeviceScanTables.from_params(p).digest)
+                key = key + (digests[idx],)
             groups.setdefault(key, []).append(idx)
 
         results: List[Optional[DecodedImage]] = [None] * len(streams)
@@ -181,8 +213,12 @@ class Decoder:
                         0 < crop.width <= p0.picture_width
                         and 0 < crop.height <= p0.picture_height):
                     crop = None
-                coeffs = host_decode.decode_coefficients_batch(plist)
-                per_image = decode_group(plist, coeffs, fmt, crop)
+                if use_dev and self._group_device_eligible(plist):
+                    from .pipeline import decode_group_device_entropy
+                    per_image = decode_group_device_entropy(plist, fmt, crop)
+                else:
+                    coeffs = host_decode.decode_coefficients_batch(plist)
+                    per_image = decode_group(plist, coeffs, fmt, crop)
                 for i, chans in zip(idxs, per_image):
                     img = DecodedImage.empty()
                     for ci, (arr, pitch) in enumerate(chans):

@@ -45,22 +45,20 @@ def _plane_from_coeffs(coeffs, quant):
     return layout.blocks_to_plane(jnp, samples)
 
 
-@functools.lru_cache(maxsize=256)
-def compiled_decode(css: ChromaSubsampling, width: int, height: int,
-                    luma_blocks: Tuple[int, int],
-                    chroma_blocks: Optional[Tuple[int, int]],
+def build_decode_fn(css: ChromaSubsampling, width: int, height: int,
+                    chroma_present: bool,
                     output_format: OutputFormat,
                     crop: Optional[tuple]) -> callable:
-    """Build + cache the jitted decode program for one static config.
+    """The raw (un-jitted) decode program for one static config:
+    fn(y_coeffs, u_coeffs, v_coeffs, qy, qu, qv) -> tuple of channel arrays
+    (leading batch axis). Chroma args are ignored for 4:0:0.
 
-    Returns fn(y_coeffs, u_coeffs, v_coeffs, qy, qu, qv) -> tuple of channel
-    arrays (leading batch axis). Chroma args are ignored for 4:0:0.
-    """
+    Exposed so the dist layer can re-jit it with mesh shardings."""
     crop_rect = CropRectangle(*crop) if crop is not None else None
 
     def fn(y_coeffs, u_coeffs, v_coeffs, qy, qu, qv):
         y = _plane_from_coeffs(y_coeffs, qy)
-        if css == CSS.CSS_400 or chroma_blocks is None:
+        if css == CSS.CSS_400 or not chroma_present:
             planes = (y, None, None)
         else:
             u = _plane_from_coeffs(u_coeffs, qu)
@@ -70,7 +68,19 @@ def compiled_decode(css: ChromaSubsampling, width: int, height: int,
             jnp, css, planes, width, height, output_format, crop_rect)
         return tuple(arr for arr, _pitch in chans)
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=256)
+def compiled_decode(css: ChromaSubsampling, width: int, height: int,
+                    luma_blocks: Tuple[int, int],
+                    chroma_blocks: Optional[Tuple[int, int]],
+                    output_format: OutputFormat,
+                    crop: Optional[tuple]) -> callable:
+    """Jitted + cached single-device variant of :func:`build_decode_fn`."""
+    return jax.jit(build_decode_fn(css, width, height,
+                                   chroma_blocks is not None,
+                                   output_format, crop))
 
 
 def output_pitches(css: ChromaSubsampling, width: int, height: int,
@@ -140,6 +150,59 @@ def stack_group_inputs(params_list, coeff_planes_list, pad_to: int):
     z = np.zeros((pad_to, 1, 1, 64), np.int16)
     zq = np.ones((pad_to, 64), np.int32)
     return y, z, z, qy, zq, zq
+
+
+def decode_group_device_entropy(params_list, output_format: OutputFormat,
+                                crop: Optional[CropRectangle] = None):
+    """Fully on-device decode of one same-shape group: the compressed
+    bitstream (not coefficient planes) crosses the host->device link, the
+    wave entropy decoder (ops/device_entropy.py) expands it on-chip, and the
+    fused dequant/IDCT/layout program consumes the coefficients in place.
+
+    Requires all images in the group to share Huffman tables (callers group
+    by table digest)."""
+    from .ops import device_entropy as de
+
+    p0 = params_list[0]
+    css = p0.chroma_subsampling
+    tables = de.DeviceScanTables.from_params(p0)
+    packed = de.pack_segments(params_list)
+    coeffs_flat, err, geom = de.decode_coefficients_on_device(
+        params_list, tables, packed)
+    comps = de.unflatten_coefficients(coeffs_flat, geom, p0)
+
+    n = len(params_list)
+    qy_rows, qu_rows, qv_rows = [], [], []
+    for p in params_list:
+        for rows, ci in ((qy_rows, 0), (qu_rows, 1), (qv_rows, 2)):
+            if ci < p.num_components:
+                qid = p.components[ci].quantiser_table_selector
+                rows.append(dezigzag(p.quantiser_tables[qid].astype(np.int32)))
+            else:
+                rows.append(np.ones(64, np.int32))
+    qy = np.stack(qy_rows)
+    qu = np.stack(qu_rows)
+    qv = np.stack(qv_rows)
+
+    y = comps[0]
+    u = comps[1] if len(comps) >= 3 else jnp.zeros((n, 1, 1, 64), jnp.int16)
+    v = comps[2] if len(comps) >= 3 else jnp.zeros((n, 1, 1, 64), jnp.int16)
+    luma_blocks = tuple(y.shape[1:3])
+    chroma_blocks = tuple(u.shape[1:3]) if len(comps) >= 3 else None
+    crop_key = (crop.left, crop.top, crop.right, crop.bottom) if crop else None
+    fn = compiled_decode(css, p0.picture_width, p0.picture_height,
+                         luma_blocks, chroma_blocks,
+                         OutputFormat(output_format), crop_key)
+    outs = fn(y, u, v, qy, qu, qv)
+    if bool(np.asarray(err).any()):
+        raise RocJpegError(Status.BAD_JPEG,
+                           "on-device entropy decode failed (corrupt scan)")
+    pitches = output_pitches(css, p0.picture_width, p0.picture_height,
+                             output_format, crop)
+    per_image = []
+    for i in range(n):
+        per_image.append([(arr[i], pitch) for arr, pitch in zip(outs, pitches)])
+    return per_image
 
 
 def decode_group(params_list, coeff_planes_list,

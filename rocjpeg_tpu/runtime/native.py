@@ -1,0 +1,149 @@
+"""ctypes binding for the native host entropy decoder (csrc/).
+
+Loads ``librocjpeg_host.so`` (building it with g++ on first use if absent)
+and exposes :func:`decode_scan` with the same signature/semantics as the
+Python oracle ``rocjpeg_tpu.core.entropy.decode_scan`` — same outputs
+bit-for-bit; errors surface as RocJpegError(BAD_JPEG).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List
+
+import numpy as np
+
+from ..core.bitstream import JpegStreamParams
+from ..status import RocJpegError, Status
+
+_MAXC = 3
+_MAXT = 4
+
+
+class _RjtScanJob(ctypes.Structure):
+    _fields_ = [
+        ("scan", ctypes.c_char_p),
+        ("scan_len", ctypes.c_long),
+        ("restart_interval", ctypes.c_int),
+        ("num_components", ctypes.c_int),
+        ("interleaved", ctypes.c_int),
+        ("mcus_w", ctypes.c_int),
+        ("total_mcus", ctypes.c_int),
+        ("h_samp", ctypes.c_int * _MAXC),
+        ("v_samp", ctypes.c_int * _MAXC),
+        ("dc_table", ctypes.c_int * _MAXC),
+        ("ac_table", ctypes.c_int * _MAXC),
+        ("dc_bits", ctypes.c_void_p * _MAXT),
+        ("dc_values", ctypes.c_void_p * _MAXT),
+        ("ac_bits", ctypes.c_void_p * _MAXT),
+        ("ac_values", ctypes.c_void_p * _MAXT),
+        ("out", ctypes.c_void_p * _MAXC),
+        ("out_bw", ctypes.c_int * _MAXC),
+        ("num_threads", ctypes.c_int),
+    ]
+
+
+_ERROR_NAMES = {
+    1: "bad Huffman table", 2: "invalid Huffman code",
+    3: "AC index overflow", 4: "scan data exhausted", 5: "missing restart segments",
+}
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "librocjpeg_host.so")
+
+
+def _load():
+    if not os.path.exists(_LIB_PATH):
+        try:
+            import importlib.util
+            spec = importlib.util.spec_from_file_location(
+                "rjt_csrc_build",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                    "csrc", "build.py"))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            mod.build(verbose=False)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.rjt_decode_scan.argtypes = [ctypes.POINTER(_RjtScanJob)]
+        lib.rjt_decode_scan.restype = ctypes.c_int
+        return lib
+    except OSError:
+        return None
+
+
+_lib = _load()
+AVAILABLE = _lib is not None
+
+
+def decode_scan(params: JpegStreamParams,
+                num_threads: int = 0) -> List[np.ndarray]:
+    """Native entropy decode; drop-in for core.entropy.decode_scan.
+
+    num_threads=0 uses all host cores for restart-segmented scans.
+    """
+    if _lib is None:  # pragma: no cover
+        raise RuntimeError("native library unavailable")
+    ncomp_scan = len(params.scan_components)
+    if ncomp_scan == 0 or not params.components:
+        raise RocJpegError(Status.BAD_JPEG, "no scan components")
+
+    job = _RjtScanJob()
+    scan = params.slice_data
+    job.scan = scan
+    job.scan_len = len(scan)
+    job.restart_interval = params.restart_interval
+    job.num_components = ncomp_scan
+    interleaved = ncomp_scan > 1
+    job.interleaved = int(interleaved)
+    if interleaved:
+        job.mcus_w = params.mcus_per_row
+        job.total_mcus = params.num_mcus
+    else:
+        bw = (params.picture_width + 7) // 8
+        bh = (params.picture_height + 7) // 8
+        job.mcus_w = bw
+        job.total_mcus = bw * bh
+
+    outputs = []
+    keepalive = []
+    for ci in range(len(params.components)):
+        fc = params.components[ci]
+        out = np.zeros(params.component_block_dims(ci) + (64,), np.int16)
+        outputs.append(out)
+        if ci < ncomp_scan:
+            sc = params.scan_components[ci]
+            job.h_samp[ci] = fc.h_sampling_factor
+            job.v_samp[ci] = fc.v_sampling_factor
+            job.dc_table[ci] = sc.dc_table_selector
+            job.ac_table[ci] = sc.ac_table_selector
+            job.out[ci] = out.ctypes.data
+            job.out_bw[ci] = out.shape[1]
+
+    for tid in range(min(_MAXT, len(params.huffman_tables))):
+        if not params.load_huffman_table[tid]:
+            continue
+        t = params.huffman_tables[tid]
+        for arr, field in ((t.num_dc_codes, "dc_bits"), (t.dc_values, "dc_values"),
+                           (t.num_ac_codes, "ac_bits"), (t.ac_values, "ac_values")):
+            a = np.ascontiguousarray(arr, np.uint8)
+            keepalive.append(a)
+            getattr(job, field)[tid] = a.ctypes.data
+
+    # Validate selectors point at loaded tables (C side checks pointers).
+    for sc in params.scan_components:
+        for tid in (sc.dc_table_selector, sc.ac_table_selector):
+            if tid >= len(params.huffman_tables) or not params.load_huffman_table[tid]:
+                raise RocJpegError(Status.BAD_JPEG, f"huffman table {tid} not loaded")
+
+    job.num_threads = num_threads or (os.cpu_count() or 1)
+
+    rc = _lib.rjt_decode_scan(ctypes.byref(job))
+    if rc != 0:
+        raise RocJpegError(Status.BAD_JPEG,
+                           _ERROR_NAMES.get(rc, f"native decode error {rc}"))
+    return outputs

@@ -9,13 +9,24 @@ must be set before the first ``import jax`` anywhere in the process.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: JAX_PLATFORMS alone is not enough on this host — the axon TPU
+# plugin registers itself from sitecustomize.py when PALLAS_AXON_POOL_IPS is
+# set, so clear it before anything imports jax.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon sitecustomize calls jax.config.update("jax_platforms", "axon,cpu")
+# at interpreter start, overriding the env var; force it back before any
+# backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

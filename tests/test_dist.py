@@ -1,0 +1,79 @@
+"""Distribution-layer tests on the virtual 8-device CPU mesh: sharded batched
+decode must stay bit-exact vs golden, across mesh layouts."""
+
+import numpy as np
+import pytest
+import jax
+
+from rocjpeg_tpu import api
+from rocjpeg_tpu.core import golden
+from rocjpeg_tpu.dist import mesh as mesh_lib
+from rocjpeg_tpu.dist import multihost, sharding
+from rocjpeg_tpu.testing import encoder
+from rocjpeg_tpu.types import CropRectangle, DecodeParams, OutputFormat
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    return [encoder.encode_planes(
+        encoder.random_planes("420", 128, 96, seed=s), "420",
+        restart_interval=4) for s in range(10)]
+
+
+@pytest.mark.parametrize("space", [1, 2, 4])
+def test_mesh_decode_bit_exact(blobs, space):
+    m = mesh_lib.make_mesh(space=space)
+    md = sharding.MeshDecoder(mesh=m)
+    imgs = md.decode_batched([api.JpegStream(b) for b in blobs],
+                             DecodeParams(OutputFormat.RGB))
+    for b, img in zip(blobs, imgs):
+        (ref, _), = golden.decode(b, OutputFormat.RGB)
+        np.testing.assert_array_equal(np.asarray(img.channel[0]), ref)
+
+
+def test_mesh_decode_formats(blobs):
+    md = sharding.MeshDecoder(mesh=mesh_lib.make_mesh(space=2))
+    for fmt in (OutputFormat.NATIVE, OutputFormat.YUV_PLANAR, OutputFormat.Y):
+        imgs = md.decode_batched([api.JpegStream(b) for b in blobs[:3]],
+                                 DecodeParams(fmt))
+        refs = [golden.decode(b, fmt) for b in blobs[:3]]
+        for ref, img in zip(refs, imgs):
+            for ci, (arr, pitch) in enumerate(ref):
+                assert img.pitch[ci] == pitch
+                np.testing.assert_array_equal(np.asarray(img.channel[ci]), arr)
+
+
+def test_mesh_decode_crop(blobs):
+    md = sharding.MeshDecoder(mesh=mesh_lib.make_mesh())
+    crop = CropRectangle(16, 16, 16 + 64, 16 + 64)
+    imgs = md.decode_batched([api.JpegStream(blobs[0])],
+                             DecodeParams(OutputFormat.RGB, crop))
+    (ref, _), = golden.decode(blobs[0], OutputFormat.RGB, crop)
+    np.testing.assert_array_equal(np.asarray(imgs[0].channel[0]), ref)
+
+
+def test_mesh_mixed_shapes(blobs):
+    md = sharding.MeshDecoder(mesh=mesh_lib.make_mesh(space=2))
+    extra = encoder.encode_planes(encoder.random_planes("444", 64, 64, 99), "444")
+    mixed = blobs[:3] + [extra]
+    imgs = md.decode_batched([api.JpegStream(b) for b in mixed],
+                             DecodeParams(OutputFormat.Y))
+    for b, img in zip(mixed, imgs):
+        (ref, _), = golden.decode(b, OutputFormat.Y)
+        np.testing.assert_array_equal(np.asarray(img.channel[0]), ref)
+
+
+def test_shard_files_single_host():
+    paths = [f"f{i}.jpg" for i in range(10)]
+    assert multihost.shard_files_for_host(paths) == paths  # 1 process
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape[0] == args[0].shape[0]
+    ge.dryrun_multichip(8)
