@@ -305,6 +305,93 @@ int rjt_decode_scan(const RjtScanJob* jobp) {
   return status.load();
 }
 
-int rjt_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Native segment packer for the on-device wave entropy decoder
+// (rocjpeg_tpu/ops/device_entropy.py). Splits a scan at RSTn markers,
+// removes byte stuffing, and writes each segment's bytes into the TPU-ready
+// (R, n_words, 128)-uint32 transposed word matrix: lane l = r*128 + li,
+// byte i of the lane lands in word i>>2 at big-endian byte position within
+// the little-endian uint32 — i.e. byte offset
+//   (((r*n_words + (i>>2)) * 128 + li) * 4) + (3 - (i&3)).
+// ---------------------------------------------------------------------------
+
+// Phase 1: clean (unstuffed) byte length of each restart segment.
+// Returns the number of segments found; lengths beyond max_segs are counted
+// but not stored.
+long rjt_seg_lens(const uint8_t* data, long n, int* seg_lens, long max_segs) {
+  const uint8_t* s = data;
+  const uint8_t* end = data + n;
+  long nseg = 0;
+  long cur = 0;
+  while (s < end) {
+    uint8_t b = *s;
+    if (b == 0xFF && s + 1 < end) {
+      uint8_t nx = s[1];
+      if (nx == 0x00) {
+        ++cur;  // stuffed 0xFF
+        s += 2;
+        continue;
+      }
+      if (nx >= 0xD0 && nx <= 0xD7) {
+        if (nseg < max_segs) seg_lens[nseg] = (int)cur;
+        ++nseg;
+        cur = 0;
+        s += 2;
+        continue;
+      }
+    }
+    ++cur;
+    ++s;
+  }
+  if (nseg < max_segs) seg_lens[nseg] = (int)cur;
+  ++nseg;
+  return nseg;
+}
+
+// Phase 2: write up to max_segs segments into the transposed word buffer,
+// starting at global lane lane0. Returns segments written.
+long rjt_pack_rows(const uint8_t* data, long n, uint8_t* out, long lane0,
+                   long n_words, long max_segs) {
+  const uint8_t* s = data;
+  const uint8_t* end = data + n;
+  long seg = 0;
+  long i = 0;  // clean byte index within current segment
+  long lane = lane0;
+  long r = lane >> 7, li = lane & 127;
+  uint8_t* lane_base = out + ((r * n_words) * 128 + li) * 4;
+  const long max_bytes = n_words * 4;
+
+  auto emit = [&](uint8_t b) {
+    if (i < max_bytes)
+      lane_base[(i >> 2) * 512 + (3 - (i & 3))] = b;
+    ++i;
+  };
+  while (s < end && seg < max_segs) {
+    uint8_t b = *s;
+    if (b == 0xFF && s + 1 < end) {
+      uint8_t nx = s[1];
+      if (nx == 0x00) {
+        emit(0xFF);
+        s += 2;
+        continue;
+      }
+      if (nx >= 0xD0 && nx <= 0xD7) {
+        ++seg;
+        ++lane;
+        r = lane >> 7;
+        li = lane & 127;
+        lane_base = out + ((r * n_words) * 128 + li) * 4;
+        i = 0;
+        s += 2;
+        continue;
+      }
+    }
+    emit(b);
+    ++s;
+  }
+  return seg < max_segs ? seg + 1 : seg;
+}
+
+int rjt_version() { return 2; }
 
 }  // extern "C"

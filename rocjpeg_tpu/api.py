@@ -72,11 +72,19 @@ class Decoder:
 
     def __init__(self, backend: Backend = Backend.HARDWARE, device_id: int = 0,
                  spec: Optional[TpuDecodeSpec] = None,
-                 device_entropy: str = "auto"):
+                 device_entropy: str = "auto",
+                 check_errors: bool = True):
         """device_entropy: 'on' | 'off' | 'auto'. 'on' runs Huffman decode
         on-chip (ops/device_entropy.py) whenever the group's images share
         Huffman tables; 'auto' additionally requires enough restart segments
-        (>= 64) for the wave to pay off; 'off' always uses the host path."""
+        (>= 64) for the wave to pay off; 'off' always uses the host path.
+
+        check_errors: when True (default, reference-parity: a corrupt scan
+        raises BAD_JPEG like rocJpegDecode returning an error status), each
+        decode_batched call materializes the on-device error flags — one
+        host<->device sync per call. Set False for peak-throughput pipelines;
+        corrupt streams then decode to garbage pixels and the flags remain
+        available on ``Decoder.last_error_flags`` for lazy inspection."""
         if backend == Backend.HYBRID:
             # Reference parity: HYBRID is NOT_IMPLEMENTED
             # (src/rocjpeg_decoder.cpp:84-88).
@@ -96,6 +104,8 @@ class Decoder:
             raise RocJpegError(Status.INVALID_PARAMETER,
                                f"bad device_entropy mode {device_entropy!r}")
         self._device_entropy = device_entropy
+        self._check_errors = check_errors
+        self.last_error_flags: list = []
         self._lock = threading.Lock()
 
     @property
@@ -201,6 +211,7 @@ class Decoder:
             groups.setdefault(key, []).append(idx)
 
         results: List[Optional[DecodedImage]] = [None] * len(streams)
+        err_flags = []
         with jax.default_device(self._device):
             for key, idxs in groups.items():
                 plist = [stream_params[i] for i in idxs]
@@ -215,7 +226,9 @@ class Decoder:
                     crop = None
                 if use_dev and self._group_device_eligible(plist):
                     from .pipeline import decode_group_device_entropy
-                    per_image = decode_group_device_entropy(plist, fmt, crop)
+                    per_image, err = decode_group_device_entropy(
+                        plist, fmt, crop)
+                    err_flags.append(err)
                 else:
                     coeffs = host_decode.decode_coefficients_batch(plist)
                     per_image = decode_group(plist, coeffs, fmt, crop)
@@ -225,4 +238,13 @@ class Decoder:
                         img.channel[ci] = arr
                         img.pitch[ci] = pitch
                     results[i] = img
+        # One deferred error check for the whole call (single sync), after
+        # every group has been dispatched asynchronously.
+        self.last_error_flags = err_flags
+        if self._check_errors and err_flags:
+            import numpy as np
+            if any(bool(np.asarray(e).any()) for e in err_flags):
+                raise RocJpegError(
+                    Status.BAD_JPEG,
+                    "on-device entropy decode failed (corrupt scan)")
         return results

@@ -1,4 +1,4 @@
-"""On-device (TPU) baseline Huffman entropy decoder.
+"""On-device (TPU) baseline Huffman entropy decoder — the "wave" kernel.
 
 This is the piece the reference delegates to fixed-function silicon (the VCN
 ASIC behind src/rocjpeg_vaapi_decoder.cpp) re-designed for a vector machine:
@@ -10,17 +10,25 @@ ASIC behind src/rocjpeg_vaapi_decoder.cpp) re-designed for a vector machine:
   ``lax.while_loop``.
 - Decoding is branch-free: all 16 candidate code lengths are evaluated at
   once against canonical max-code tables and the first valid one selected
-  (argmax), the symbol is fetched with a single small gather, and all state
-  transitions (DC/AC, EOB, ZRL, block/MCU advance) are masked selects.
-- Each decoded coefficient is scattered (mode='drop' for masked lanes)
-  straight into the batch coefficient tensor that feeds the fused
-  dequant+IDCT pipeline — decoded samples never leave the chip.
+  (argmax); the (run,size) symbol byte is fetched from a 4-bytes-per-word
+  packed LUT via a narrow one-hot reduction; all state transitions (DC/AC,
+  EOB, ZRL, block/MCU advance) are masked selects. There is no gather, no
+  integer division, and every per-step intermediate is at most (lanes, 96)
+  so XLA keeps the whole step in VMEM-resident fusions.
+- Each decoded coefficient is appended as a (flat-index, value) pair into
+  step-indexed emission buffers (dynamic_update_slice rows — provably
+  in-place inside the loop); ONE bulk scatter materializes the zigzag-layout
+  coefficient tensor afterwards, and a static gather de-zigzags it. Decoded
+  samples never leave the chip.
 
 Why this beats the host path on this system: the JPEG bitstream is ~10-25x
 smaller than its coefficient planes, so shipping bits (not coefficients)
 through the narrow host->device link and expanding them on-chip removes the
-H2D bottleneck entirely (measured 164 MB/s H2D => 55 Mpix/s ceiling for the
-coefficient-shipping architecture).
+H2D bottleneck entirely.
+
+The kernel runs exactly once per group (max_steps = a provable hard bound on
+symbols per lane), so the decode path performs no host<->device syncs; the
+error flags are returned as a device array and checked lazily by the caller.
 
 v1 restriction: all images in a decode group must share Huffman tables
 (typical for corpora from one encoder); the API groups by table digest and
@@ -31,18 +39,25 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.bitstream import JpegStreamParams
-from ..core.entropy import split_restart_segments, unstuff
 from ..core.zigzag import ZIGZAG_ORDER
 from ..status import RocJpegError, Status
 
-MAX_VALUES = 162
+# Per-table value capacity: DC tables hold <= 16 symbols, AC <= 162; the
+# packed layout allots [0,16,32,194] offsets for (dc0, dc1, ac0, ac1).
+_VAL_OFFS = (0, 16, 32, 194)
+_VAL_TOTAL = 356
+_VAL_WORDS = (_VAL_TOTAL + 3) // 4  # 89
+
+# Inverse zigzag as a static gather: natural position p holds scan index
+# INV_ZIGZAG[p] (ZIGZAG_ORDER[s] == p  =>  INV_ZIGZAG[p] == s).
+INV_ZIGZAG = np.argsort(np.asarray(ZIGZAG_ORDER)).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -50,75 +65,88 @@ MAX_VALUES = 162
 # ---------------------------------------------------------------------------
 
 def build_canonical_tables(bits: np.ndarray, values: np.ndarray):
-    """Canonical Huffman decode tables (T.81 Annex F.2.2.3 layout):
-    mincode/maxcode/valptr indexed by code length 1..16 (slot 0 unused).
-    maxcode = -1 for lengths with no codes."""
-    mincode = np.zeros(17, np.int32)
-    maxcode = np.full(17, -1, np.int32)
-    valptr = np.zeros(17, np.int32)
+    """Canonical Huffman decode tables (T.81 Annex F.2.2.3):
+    per code length 1..16, maxcode+1 (0 when the length has no codes; needs
+    17 bits since a full 16-bit code space gives 2^16) and
+    base15 = (valptr - mincode) mod 2^15 so that
+    value_index = (code + base15) mod 2^15 (valid because value indices are
+    < 2^15)."""
+    maxc1 = np.zeros(16, np.uint32)
+    base15 = np.zeros(16, np.uint32)
     code = 0
     k = 0
     for length in range(1, 17):
         n = int(bits[length - 1])
         if n:
-            valptr[length] = k
-            mincode[length] = code
-            maxcode[length] = code + n - 1
+            base15[length - 1] = (k - code) & 0x7FFF
+            maxc1[length - 1] = code + n  # maxcode+1
             code += n
             k += n
         code <<= 1
-    vals = np.zeros(MAX_VALUES, np.uint8)
-    vals[:min(len(values), MAX_VALUES)] = values[:MAX_VALUES]
-    return mincode, maxcode, valptr, vals
+    return maxc1, base15
 
 
 @dataclasses.dataclass
 class DeviceScanTables:
-    """Stacked decode tables for the 4 (dc0, dc1, ac0, ac1) table slots."""
-    mincode: np.ndarray  # (4, 17) int32
-    maxcode: np.ndarray  # (4, 17) int32
-    valptr: np.ndarray   # (4, 17) int32
-    values: np.ndarray   # (4, MAX_VALUES) uint8
+    """Packed decode tables for the 4 (dc0, dc1, ac0, ac1) table slots.
+
+    lentab: (4, 16) uint32, (maxcode+1) << 15 | base15, per code length.
+    values: (_VAL_WORDS,) uint32, 4 symbol bytes per word, tables at
+            _VAL_OFFS byte offsets.
+    """
+    lentab: np.ndarray
+    values: np.ndarray
     digest: bytes
 
     @classmethod
     def from_params(cls, p: JpegStreamParams) -> "DeviceScanTables":
-        rows = []
-        for which in ("dc", "ac"):
-            for tid in (0, 1):
-                t = p.huffman_tables[tid] if tid < len(p.huffman_tables) else None
-                if t is None or not p.load_huffman_table[tid]:
-                    rows.append(build_canonical_tables(
-                        np.zeros(16, np.uint8), np.zeros(0, np.uint8)))
-                elif which == "dc":
-                    rows.append(build_canonical_tables(t.num_dc_codes, t.dc_values))
-                else:
-                    rows.append(build_canonical_tables(t.num_ac_codes, t.ac_values))
-        mincode = np.stack([r[0] for r in rows])
-        maxcode = np.stack([r[1] for r in rows])
-        valptr = np.stack([r[2] for r in rows])
-        values = np.stack([r[3] for r in rows])
-        digest = (mincode.tobytes() + maxcode.tobytes() + valptr.tobytes()
-                  + values.tobytes())
-        return cls(mincode, maxcode, valptr, values, digest)
+        lentab = np.zeros((4, 16), np.uint32)
+        vals = np.zeros(_VAL_TOTAL, np.uint8)
+        for slot in range(4):
+            which, tid = ("dc", slot) if slot < 2 else ("ac", slot - 2)
+            t = p.huffman_tables[tid] if tid < len(p.huffman_tables) else None
+            if t is None or not p.load_huffman_table[tid]:
+                continue
+            if which == "dc":
+                bits, values = t.num_dc_codes, t.dc_values
+            else:
+                bits, values = t.num_ac_codes, t.ac_values
+            maxc1, base15 = build_canonical_tables(bits, values)
+            lentab[slot] = (maxc1 << 15) | base15
+            off = _VAL_OFFS[slot]
+            cap = (_VAL_OFFS[slot + 1] if slot < 3 else _VAL_TOTAL) - off
+            n = min(len(values), cap)
+            vals[off:off + n] = values[:n]
+        packed = (vals[0::4].astype(np.uint32)
+                  | (vals[1::4].astype(np.uint32) << 8)
+                  | (vals[2::4].astype(np.uint32) << 16)
+                  | (vals[3::4].astype(np.uint32) << 24))
+        digest = lentab.tobytes() + packed.tobytes()
+        return cls(lentab, packed, digest)
 
 
 @dataclasses.dataclass
 class PackedSegments:
-    """Device-ready segment wave for one decode group."""
-    words: np.ndarray      # (n_segs, n_words) uint32, big-endian packed bits
-    img_idx: np.ndarray    # (n_segs,) int32
-    mcu_start: np.ndarray  # (n_segs,) int32
-    mcu_count: np.ndarray  # (n_segs,) int32
+    """Device-ready segment wave for one decode group. Lane count and word
+    count are bucketed (pow2-ish) so jit programs are reused across batches;
+    padding lanes have mcu_count == 0 and deactivate on step one.
+
+    ``words`` is already in TPU layout: lane l = r*128 + li holds its j-th
+    big-endian word at words[r, j, li] (lanes fill the VPU lane dimension)."""
+    words: np.ndarray      # (R, n_words, 128) uint32
+    img_base: np.ndarray   # (n_lanes,) int32 — img_idx * total_blocks
+    mcu_start: np.ndarray  # (n_lanes,) int32
+    mcu_count: np.ndarray  # (n_lanes,) int32
+    n_lanes: int
     n_words: int
     total_bytes: int
+    max_seg_bits: int      # real payload bits of the longest segment
 
 
 def _segment_image(scan: bytes):
     """One vectorized pass over a scan: remove byte stuffing (0xFF00 -> 0xFF)
     and RSTn markers, returning (clean bytes, segment start offsets within
-    clean). Semantics identical to split_restart_segments + unstuff, without
-    per-segment numpy-call overhead (thousands of segments per image)."""
+    clean)."""
     b = np.frombuffer(scan, np.uint8)
     if b.size < 2:
         return b.copy(), np.zeros(0, np.int64)
@@ -129,23 +157,23 @@ def _segment_image(scan: bytes):
     del_pos = np.concatenate([stuffed, markers, markers + 1])
     del_pos.sort(kind="stable")
     clean = np.delete(b, del_pos) if del_pos.size else b.copy()
-    # Each segment starts right after a marker; translate marker positions
-    # into cleaned-coordinate boundaries.
     bounds = markers - np.searchsorted(del_pos, markers)
     return clean, bounds
 
 
-def pack_segments(params_list: Sequence[JpegStreamParams]) -> PackedSegments:
-    """Split each image's scan at RSTn markers, unstuff, and pack all
-    segments of the group into one padded uint32 word matrix (bits MSB-first
-    within each big-endian word)."""
-    cleans: List[np.ndarray] = []
-    starts: List[np.ndarray] = []
-    lengths: List[np.ndarray] = []
-    img_idx: List[np.ndarray] = []
-    mcu_start: List[np.ndarray] = []
-    mcu_count: List[np.ndarray] = []
-    for i, p in enumerate(params_list):
+def _bucket(n: int, quantum: int) -> int:
+    """Round n up to a power-of-two-ish bucket (1-2-4-... times quantum)."""
+    b = quantum
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _geometry_rows(params_list, total_blocks):
+    """Per-image segment geometry: (needed segment count, restart interval,
+    total MCUs) without touching the scan bytes."""
+    rows = []
+    for p in params_list:
         interleaved = len(p.scan_components) > 1
         if interleaved:
             total = p.num_mcus
@@ -153,48 +181,91 @@ def pack_segments(params_list: Sequence[JpegStreamParams]) -> PackedSegments:
             total = ((p.picture_width + 7) // 8) * ((p.picture_height + 7) // 8)
         ri = p.restart_interval if p.restart_interval > 0 else total
         needed = (total + ri - 1) // ri
-        clean, bounds = _segment_image(p.slice_data)
-        if bounds.size + 1 < needed:
-            raise RocJpegError(Status.BAD_JPEG, "missing restart segments")
-        seg_starts = np.concatenate([[0], bounds])[:needed]
-        seg_ends = np.concatenate([bounds, [clean.size]])[:needed]
-        cleans.append(clean)
-        starts.append(seg_starts)
-        lengths.append(seg_ends - seg_starts)
-        img_idx.append(np.full(needed, i, np.int32))
-        ms = np.arange(needed, dtype=np.int32) * ri
-        mcu_start.append(ms)
-        mcu_count.append(np.minimum(ri, total - ms).astype(np.int32))
+        rows.append((needed, ri, total))
+    return rows
 
-    all_len = np.concatenate(lengths)
-    n_segs = all_len.size
-    max_len = int(all_len.max()) if n_segs else 0
+
+def pack_segments(params_list: Sequence[JpegStreamParams],
+                  total_blocks: int) -> PackedSegments:
+    """Split each image's scan at RSTn markers, unstuff, and pack all
+    segments of the group into the TPU-layout word tensor (bits MSB-first
+    within each big-endian word; lanes last). Uses the native C packer
+    (csrc/rocjpeg_entropy.cpp rjt_seg_lens/rjt_pack_rows) when available,
+    with a vectorized numpy fallback."""
+    from ..runtime import host_decode
+    native = host_decode.native_pack_module()
+
+    geo = _geometry_rows(params_list, total_blocks)
+    n_segs = sum(g[0] for g in geo)
+    n_pad = _bucket(max(n_segs, 1), 256)
+
+    # ---- phase 1: clean segment lengths (native or numpy) ----
+    seg_len_rows = []
+    cleans = None
+    if native is not None:
+        for p, (needed, ri, total) in zip(params_list, geo):
+            lens, found = native.seg_lens(p.slice_data, needed)
+            if found < needed:
+                raise RocJpegError(Status.BAD_JPEG, "missing restart segments")
+            seg_len_rows.append(lens[:needed])
+    else:
+        cleans = []
+        for p, (needed, ri, total) in zip(params_list, geo):
+            clean, bounds = _segment_image(p.slice_data)
+            if bounds.size + 1 < needed:
+                raise RocJpegError(Status.BAD_JPEG, "missing restart segments")
+            seg_starts = np.concatenate([[0], bounds])[:needed]
+            seg_ends = np.concatenate([bounds, [clean.size]])[:needed]
+            cleans.append((clean, seg_starts))
+            seg_len_rows.append((seg_ends - seg_starts).astype(np.int32))
+
+    all_len = np.concatenate(seg_len_rows) if seg_len_rows else np.zeros(0, np.int64)
+    max_len = int(all_len.max()) if all_len.size else 0
     n_words = (max_len + 3) // 4 + 2  # +2 pad words so window fetch is safe
-    n_words = -(-n_words // 8) * 8   # whole 8-word slabs for the bit reader
-    row_bytes = n_words * 4
-    flat = np.zeros(n_segs * row_bytes, np.uint8)
-    # Vectorized row packing: every clean byte lands at
-    # row*row_bytes + (pos - seg_start).
-    row0 = 0
-    for clean, seg_starts, lens in zip(cleans, starts, lengths):
-        nseg = lens.size
-        used = int(seg_starts[-1] + lens[-1]) if nseg else 0
-        rows = np.repeat(np.arange(row0, row0 + nseg, dtype=np.int64), lens)
-        within = np.arange(used, dtype=np.int64) - np.repeat(seg_starts, lens)
-        flat[rows * row_bytes + within] = clean[:used]
-        row0 += nseg
-    words = flat.reshape(n_segs, n_words, 4)
-    w32 = ((words[:, :, 0].astype(np.uint32) << 24)
-           | (words[:, :, 1].astype(np.uint32) << 16)
-           | (words[:, :, 2].astype(np.uint32) << 8)
-           | words[:, :, 3].astype(np.uint32))
+    n_words = _bucket(-(-n_words // 8) * 8, 8)  # whole 8-word slabs, pow2ish
+    R = n_pad // 128
+
+    # ---- phase 2: write segment bytes into the transposed word tensor ----
+    words = np.zeros((R, n_words, 128), np.uint32)
+    lane0 = 0
+    if native is not None:
+        for p, (needed, ri, total) in zip(params_list, geo):
+            native.pack_rows(p.slice_data, words, lane0, n_words, needed)
+            lane0 += needed
+    else:
+        u8 = words.view(np.uint8).reshape(R, n_words, 128, 4)
+        for (clean, seg_starts), lens in zip(cleans, seg_len_rows):
+            nseg = lens.size
+            used = int(seg_starts[-1] + lens[-1]) if nseg else 0
+            lanes = lane0 + np.repeat(np.arange(nseg, dtype=np.int64), lens)
+            within = np.arange(used, dtype=np.int64) - np.repeat(
+                seg_starts, lens)
+            u8[lanes >> 7, within >> 2, lanes & 127,
+               3 - (within & 3)] = clean[:used]
+            lane0 += nseg
+
+    # ---- per-lane geometry arrays ----
+    img_base = np.zeros(n_pad, np.int32)
+    mcu_start = np.zeros(n_pad, np.int32)
+    mcu_count = np.zeros(n_pad, np.int32)
+    lane0 = 0
+    for i, (needed, ri, total) in enumerate(geo):
+        sl = slice(lane0, lane0 + needed)
+        img_base[sl] = i * total_blocks
+        ms = np.arange(needed, dtype=np.int32) * ri
+        mcu_start[sl] = ms
+        mcu_count[sl] = np.minimum(ri, total - ms)
+        lane0 += needed
+
     return PackedSegments(
-        words=w32,
-        img_idx=np.concatenate(img_idx),
-        mcu_start=np.concatenate(mcu_start),
-        mcu_count=np.concatenate(mcu_count),
+        words=words,
+        img_base=img_base,
+        mcu_start=mcu_start,
+        mcu_count=mcu_count,
+        n_lanes=n_pad,
         n_words=n_words,
         total_bytes=int(all_len.sum()),
+        max_seg_bits=max_len * 8,
     )
 
 
@@ -204,125 +275,148 @@ def pack_segments(params_list: Sequence[JpegStreamParams]) -> PackedSegments:
 
 @dataclasses.dataclass(frozen=True)
 class GroupGeometry:
-    """Static decode geometry for one shape group (hashable jit key)."""
+    """Static decode geometry for one shape group (hashable jit key).
+
+    Per scan-block-slot tables (slot = position of the block within one MCU,
+    in scan order — e.g. 420: Y00 Y01 Y10 Y11 U V):
+      flat_off[s]  = component plane base + dy*bw + dx  (block offset)
+      row_step[s]  = v_sampling * bw   (flat-block stride per MCU row)
+      col_step[s]  = h_sampling       (flat-block stride per MCU column)
+      dc_slot[s]/ac_slot[s] = Huffman table slot (0..3)
+      comp_of_slot[s] = component index (DC predictor bank)
+    """
     batch: int
     mcus_w: int
-    # Per scan-block-slot schedule within one MCU:
+    flat_off: Tuple[int, ...]
+    row_step: Tuple[int, ...]
+    col_step: Tuple[int, ...]
+    dc_slot: Tuple[int, ...]
+    ac_slot: Tuple[int, ...]
     comp_of_slot: Tuple[int, ...]
-    dy_of_slot: Tuple[int, ...]
-    dx_of_slot: Tuple[int, ...]
-    # Per component:
-    h_samp: Tuple[int, ...]
-    v_samp: Tuple[int, ...]
-    blocks_w: Tuple[int, ...]   # bw per component plane
-    comp_base: Tuple[int, ...]  # flat block offset of each component plane
-    dc_tid: Tuple[int, ...]     # dc table slot (0/1) per component
-    ac_tid: Tuple[int, ...]     # ac table slot per component
+    ncomp: int
+    blocks_w: Tuple[int, ...]
+    comp_base: Tuple[int, ...]
     total_blocks: int           # per image, all components
 
     @classmethod
     def from_params(cls, p: JpegStreamParams, batch: int) -> "GroupGeometry":
         ncomp = len(p.scan_components)
         interleaved = ncomp > 1
-        comp_of_slot, dy, dx = [], [], []
-        if interleaved:
-            for ci in range(ncomp):
-                fc = p.components[ci]
-                for v in range(fc.v_sampling_factor):
-                    for u in range(fc.h_sampling_factor):
-                        comp_of_slot.append(ci)
-                        dy.append(v)
-                        dx.append(u)
-            mcus_w = p.mcus_per_row
-        else:
-            comp_of_slot, dy, dx = [0], [0], [0]
-            mcus_w = (p.picture_width + 7) // 8
-        h_samp, v_samp, blocks_w, comp_base = [], [], [], []
+        blocks_w, comp_base = [], []
         base = 0
         for ci in range(len(p.components)):
             bh, bw = p.component_block_dims(ci)
             if not interleaved:
                 bh = (p.picture_height + 7) // 8
                 bw = (p.picture_width + 7) // 8
-            h_samp.append(p.components[ci].h_sampling_factor if interleaved else 1)
-            v_samp.append(p.components[ci].v_sampling_factor if interleaved else 1)
             blocks_w.append(bw)
             comp_base.append(base)
             base += bh * bw
-        dc_tid = tuple(sc.dc_table_selector for sc in p.scan_components)
-        ac_tid = tuple(sc.ac_table_selector for sc in p.scan_components)
+        flat_off, row_step, col_step = [], [], []
+        dc_slot, ac_slot, comp_of_slot = [], [], []
+        if interleaved:
+            for ci in range(ncomp):
+                fc = p.components[ci]
+                sc = p.scan_components[ci]
+                for v in range(fc.v_sampling_factor):
+                    for u in range(fc.h_sampling_factor):
+                        flat_off.append(comp_base[ci] + v * blocks_w[ci] + u)
+                        row_step.append(fc.v_sampling_factor * blocks_w[ci])
+                        col_step.append(fc.h_sampling_factor)
+                        dc_slot.append(sc.dc_table_selector)
+                        ac_slot.append(sc.ac_table_selector + 2)
+                        comp_of_slot.append(ci)
+            mcus_w = p.mcus_per_row
+        else:
+            sc = p.scan_components[0]
+            flat_off, row_step, col_step = [0], [blocks_w[0]], [1]
+            dc_slot = [sc.dc_table_selector]
+            ac_slot = [sc.ac_table_selector + 2]
+            comp_of_slot = [0]
+            mcus_w = (p.picture_width + 7) // 8
         return cls(batch=batch, mcus_w=mcus_w,
-                   comp_of_slot=tuple(comp_of_slot), dy_of_slot=tuple(dy),
-                   dx_of_slot=tuple(dx), h_samp=tuple(h_samp),
-                   v_samp=tuple(v_samp), blocks_w=tuple(blocks_w),
-                   comp_base=tuple(comp_base), dc_tid=dc_tid, ac_tid=ac_tid,
-                   total_blocks=base)
+                   flat_off=tuple(flat_off), row_step=tuple(row_step),
+                   col_step=tuple(col_step), dc_slot=tuple(dc_slot),
+                   ac_slot=tuple(ac_slot), comp_of_slot=tuple(comp_of_slot),
+                   ncomp=ncomp, blocks_w=tuple(blocks_w),
+                   comp_base=tuple(comp_base), total_blocks=base)
 
 
 # ---------------------------------------------------------------------------
 # The device kernel (pure jnp; runs under jit on TPU or CPU)
 # ---------------------------------------------------------------------------
 
+# Symbols decoded per while-loop iteration in the jnp (portable) wave. The
+# XLA while loop has a large fixed per-iteration overhead (~37us measured on
+# v5e: loop state makes an HBM round trip between the body's fusions);
+# unrolling amortizes it, at the price of compile time. The production TPU
+# path is the Pallas kernel (kernels/wave_pallas.py), which has no such
+# overhead — keep the portable path cheap to compile.
+WAVE_UNROLL = 2
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
                            max_steps: int):
     """Build + jit the wave decoder for one static geometry.
 
-    Memory strategy: the loop never scatters into the (large) coefficient
-    tensor — XLA would copy it every iteration. Instead each step appends
-    one (flat-index, value) pair per lane into step-indexed buffers via
-    dynamic_update_slice (provably in-place inside while_loop), and a single
-    scatter materializes the coefficient tensor afterwards. ``max_steps``
-    bounds the pair buffers: every Huffman symbol consumes >= 1 bit, so
-    symbols/lane <= segment bits; it is also <= mcus x slots x 65."""
+    TPU layout: lanes are shaped (R, 128) — the trailing 128 fills the VPU
+    lane dimension, R fills sublanes — and every one-hot/table dimension sits
+    in the middle axis, so each intermediate is a stack of fully-packed
+    (8, 128) vregs. (A flat (L,) layout wastes 7/8 of every vreg: measured
+    ~8x slower.)
 
-    ncomp = len(geom.h_samp)
-    nslots = len(geom.comp_of_slot)
-    comp_of_slot = jnp.asarray(geom.comp_of_slot, jnp.int32)
-    dy_of_slot = jnp.asarray(geom.dy_of_slot, jnp.int32)
-    dx_of_slot = jnp.asarray(geom.dx_of_slot, jnp.int32)
-    h_samp = jnp.asarray(geom.h_samp, jnp.int32)
-    v_samp = jnp.asarray(geom.v_samp, jnp.int32)
-    blocks_w = jnp.asarray(geom.blocks_w, jnp.int32)
-    comp_base = jnp.asarray(geom.comp_base, jnp.int32)
-    dc_tid = jnp.asarray([geom.dc_tid[c] if c < len(geom.dc_tid) else 0
-                          for c in range(ncomp)], jnp.int32)
-    ac_tid = jnp.asarray([geom.ac_tid[c] + 2 if c < len(geom.ac_tid) else 2
-                          for c in range(ncomp)], jnp.int32)
-    zigzag = jnp.asarray(ZIGZAG_ORDER, jnp.int32)
+    max_steps is a hard bound on symbols per lane (min of the block-count
+    bound and the real-payload-bits bound), so the kernel runs exactly once;
+    lanes still active at exit can only be corrupt streams and are flagged
+    as errors on the way out."""
+
+    nslots = len(geom.flat_off)
+    ncomp = geom.ncomp
+    LANE = 128
+    assert n_segs % LANE == 0
+    R = n_segs // LANE
+    n_slabs = n_words // 8
     out_size = geom.batch * geom.total_blocks * 64
+    inv_zig = jnp.asarray(INV_ZIGZAG)
+    # (1, T, 1)-shaped iotas / tables broadcast against (R, 1, 128) lanes.
 
-    def decoder(words, img_idx, mcu_start, mcu_count,
-                mincode, maxcode, valptr, values):
-        # TPU has no fast per-lane gather: every "lookup" below is either a
-        # one-hot masked reduction over a small constant table or pure bit
-        # arithmetic on a per-lane 64-bit shift register (two uint32s).
-        L = n_segs
-        n_slabs = n_words // 8
-        words3 = words.reshape(L, n_slabs, 8)
-        lengths16 = jnp.arange(1, 17, dtype=jnp.uint32)
-        len_iota = jnp.arange(16, dtype=jnp.int32)
-        slab_iota = jnp.arange(n_slabs, dtype=jnp.int32)
-        word8_iota = jnp.arange(8, dtype=jnp.int32)
-        slot_iota = jnp.arange(nslots, dtype=jnp.int32)
-        comp_iota = jnp.arange(ncomp, dtype=jnp.int32)
-        zig_iota = jnp.arange(64, dtype=jnp.int32)
-        val_iota = jnp.arange(4 * MAX_VALUES, dtype=jnp.int32)
-        minc_t = mincode[:, 1:].astype(jnp.int32)   # (4, 16), lengths 1..16
-        maxc_t = maxcode[:, 1:].astype(jnp.int32)
-        valp_t = valptr[:, 1:].astype(jnp.int32)
-        values_flat = values.reshape(-1).astype(jnp.int32)  # (4*162,)
-        tslot_iota = jnp.arange(4, dtype=jnp.int32)
+    def mid(arr, dtype=jnp.int32):
+        return jnp.asarray(arr, dtype).reshape(1, -1, 1)
 
-        def sel_small(idx, table):
-            """table[idx] per lane via one-hot reduce; table is (N,) const."""
-            n = table.shape[0]
-            oh = (jnp.arange(n, dtype=jnp.int32)[None, :] == idx[:, None])
-            return jnp.sum(jnp.where(oh, table[None, :], 0), axis=1)
+    slot_iota = mid(np.arange(nslots))
+    len_iota = mid(np.arange(16))
+    word8_iota = mid(np.arange(8))
+    slab_iota = mid(np.arange(n_slabs))
+    vword_iota = mid(np.arange(_VAL_WORDS))
+    tslot_iota = mid(np.arange(4))
+    lengths16 = mid(np.arange(1, 17), jnp.uint32)
+    flat_off_t = mid(geom.flat_off)
+    row_step_t = mid(geom.row_step)
+    col_step_t = mid(geom.col_step)
+    dc_slot_t = mid(geom.dc_slot)
+    ac_slot_t = mid(geom.ac_slot)
+    val_offs_t = mid(_VAL_OFFS)
+    # comp one-hot from slot one-hot: per component, which slots map to it.
+    comp_slots = [
+        [s for s in range(nslots) if geom.comp_of_slot[s] == c]
+        for c in range(ncomp)
+    ]
 
-        def step(state):
+    def decoder(words, img_base, mcu_start, mcu_count, lentab, values):
+        # words arrives as (R, n_words, 128); state lanes are (R, 128).
+        words4 = words.reshape(R, n_slabs, 8, LANE)
+        lentabu = lentab.astype(jnp.uint32)          # (4, 16)
+        values32 = values.astype(jnp.int32)          # (_VAL_WORDS,)
+        mcus_w = jnp.int32(geom.mcus_w)
+
+        def e(x):
+            """Lift a (R, 128) lane array to (R, 1, 128) for table ops."""
+            return x[:, None, :]
+
+        def one_symbol(state):
             (acc0, acc1, navail, wcur, slab, slab_id,
-             mcu_abs, mcu_rem, slot, k, dc_pred, err, nstep,
+             mx, my, mcu_rem, slot, k, dc_pred, err, nstep,
              idx_buf, val_buf) = state
             active = (mcu_rem > 0) & ~err
 
@@ -331,12 +425,12 @@ def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
             need = navail <= 32
             want_slab = wcur >> 3
             reload = need & (want_slab != slab_id)
-            slab_oh = (slab_iota[None, :, None] == want_slab[:, None, None])
-            slab_new = jnp.sum(jnp.where(slab_oh, words3,
-                                         jnp.uint32(0)), axis=1)   # (L, 8)
-            slab = jnp.where(reload[:, None], slab_new, slab)
+            slab_oh = (slab_iota[:, :, None, :] == e(want_slab)[:, :, None, :])
+            slab_new = jnp.sum(jnp.where(slab_oh, words4, jnp.uint32(0)),
+                               axis=1)                       # (R, 8, 128)
+            slab = jnp.where(reload[:, None, :], slab_new, slab)
             slab_id = jnp.where(reload, want_slab, slab_id)
-            word_oh = (word8_iota[None, :] == (wcur & 7)[:, None])
+            word_oh = (word8_iota == e(wcur & 7))
             w = jnp.sum(jnp.where(word_oh, slab, jnp.uint32(0)), axis=1)
             na_u = (navail & 31).astype(jnp.uint32)
             hi_or = jnp.where(navail < 32, w >> na_u, jnp.uint32(0))
@@ -350,39 +444,49 @@ def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
             wcur = jnp.where(need, wcur + 1, wcur)
 
             win = acc0  # next 32 bits, MSB-first
-            comp = sel_small(slot, comp_of_slot)
             is_dc = k == 0
 
-            # Table slot (0/1 dc, 2/3 ac) for this lane's current symbol.
-            tslot = jnp.where(is_dc, sel_small(comp, dc_tid),
-                              sel_small(comp, ac_tid))
-            t_oh = (tslot_iota[None, :, None] == tslot[:, None, None])  # (L,4,1)
-            minc = jnp.sum(jnp.where(t_oh, minc_t[None], 0), axis=1)   # (L,16)
-            maxc = jnp.sum(jnp.where(t_oh, maxc_t[None], 0), axis=1)
-            valp = jnp.sum(jnp.where(t_oh, valp_t[None], 0), axis=1)
+            # ---- slot-indexed geometry/table selects (one one-hot). ----
+            slot_oh = (slot_iota == e(slot))                 # (R, S, 128)
 
-            # All 16 candidate codes at once; first valid length wins
-            # (canonical prefix property: shorter prefixes of a longer code
-            # always exceed that length's maxcode).
-            cand = (win[:, None] >> (32 - lengths16[None, :])).astype(jnp.int32)
-            valid = (cand <= maxc) & (maxc >= 0)
+            def sel_slot(table):
+                return jnp.sum(jnp.where(slot_oh, table, 0), axis=1)
+
+            tslot = jnp.where(is_dc, sel_slot(dc_slot_t), sel_slot(ac_slot_t))
+
+            # ---- code length + value index via packed lentab. ----
+            t_oh = (tslot_iota == e(tslot))                  # (R, 4, 128)
+            # lentab (4,16) joins as (1, 4, 16, 1) against (R, 4, 1, 128).
+            packed16 = jnp.sum(
+                jnp.where(t_oh[:, :, None, :],
+                          lentabu[None, :, :, None], jnp.uint32(0)),
+                axis=1)                                      # (R, 16, 128)
+            maxc1 = (packed16 >> 15).astype(jnp.int32)
+            base15 = (packed16 & 0x7FFF).astype(jnp.int32)
+            cand = (e(win) >> (32 - lengths16)).astype(jnp.int32)
+            valid = (cand < maxc1)
             has = jnp.any(valid, axis=1)
-            lsel = jnp.argmax(valid, axis=1).astype(jnp.int32)  # 0..15
-            oh16 = (len_iota[None, :] == lsel[:, None])
+            lsel = jnp.argmax(valid, axis=1).astype(jnp.int32)   # 0..15
+            oh16 = (len_iota == e(lsel))
             codelen = lsel + 1
             code = jnp.sum(jnp.where(oh16, cand, 0), axis=1)
-            sym_idx = (jnp.sum(jnp.where(oh16, valp, 0), axis=1) + code
-                       - jnp.sum(jnp.where(oh16, minc, 0), axis=1))
-            flat_idx = jnp.clip(tslot * MAX_VALUES + sym_idx,
-                                0, 4 * MAX_VALUES - 1)
-            sym_oh = (val_iota[None, :] == flat_idx[:, None])
-            symbol = jnp.sum(jnp.where(sym_oh, values_flat[None, :], 0), axis=1)
+            base = jnp.sum(jnp.where(oh16, base15, 0), axis=1)
+            sym_idx = (code + base) & 0x7FFF
             err = err | (active & ~has)
+
+            # ---- symbol byte from the packed value LUT. ----
+            toff = jnp.sum(jnp.where(t_oh, val_offs_t, 0), axis=1)
+            flat_sym = jnp.clip(toff + sym_idx, 0, _VAL_TOTAL - 1)
+            widx = flat_sym >> 2
+            v_oh = (vword_iota == e(widx))                   # (R, 89, 128)
+            vword = jnp.sum(jnp.where(v_oh, values32[None, :, None], 0),
+                            axis=1)
+            symbol = (vword >> ((flat_sym & 3) << 3)) & 0xFF
 
             run = symbol >> 4
             size = symbol & 15
 
-            # Extend bits immediately after the code.
+            # ---- extend bits immediately after the code. ----
             ext_shift = (32 - codelen.astype(jnp.uint32)
                          - size.astype(jnp.uint32))
             ext = ((win >> ext_shift)
@@ -392,41 +496,42 @@ def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
             val = jnp.where(size == 0, 0,
                             jnp.where(ext < half, ext - (half << 1) + 1, ext))
 
-            # --- DC path ---
-            comp_onehot = (comp_iota[None, :] == comp[:, None])
-            dc_cur = jnp.sum(jnp.where(comp_onehot, dc_pred, 0), axis=1)
+            # ---- DC path. ----
+            comp_oh = [functools.reduce(jnp.logical_or,
+                                        [slot_oh[:, s, :]
+                                         for s in comp_slots[c]])
+                       for c in range(ncomp)]
+            dc_cur = sum(jnp.where(comp_oh[c], dc_pred[c], 0)
+                         for c in range(ncomp))
             dc_new = dc_cur + val
-            dc_pred_next = jnp.where(
-                (active & is_dc)[:, None] & comp_onehot, dc_new[:, None],
-                dc_pred)
+            upd = (active & is_dc)
+            dc_pred_next = tuple(
+                jnp.where(upd & comp_oh[c], dc_new, dc_pred[c])
+                for c in range(ncomp))
 
-            # --- AC path ---
+            # ---- AC bookkeeping. ----
             is_eob = (~is_dc) & (size == 0) & (run != 15)
             is_zrl = (~is_dc) & (size == 0) & (run == 15)
             k_coeff = jnp.where(is_dc, 0, jnp.minimum(k + run, 63))
-            writes = active & (is_dc | ((~is_dc) & (size > 0) & (k + run <= 63)))
-            err = err | (active & (~is_dc) & (size > 0) & (k + run > 63))
+            overrun = (~is_dc) & (size > 0) & (k + run > 63)
+            writes = active & (is_dc | ((~is_dc) & (size > 0) & ~overrun))
+            err = err | (active & overrun)
             write_val = jnp.where(is_dc, dc_new, val).astype(jnp.int16)
 
-            # Flat output index.
-            my = mcu_abs // geom.mcus_w
-            mx = mcu_abs % geom.mcus_w
-            by = my * sel_small(comp, v_samp) + sel_small(slot, dy_of_slot)
-            bx = mx * sel_small(comp, h_samp) + sel_small(slot, dx_of_slot)
-            block_flat = (img_idx * geom.total_blocks
-                          + sel_small(comp, comp_base)
-                          + by * sel_small(comp, blocks_w) + bx)
-            coeff_idx = block_flat * 64 + sel_small(k_coeff, zigzag)
-            # Masked lanes target one-past-the-end: the final scatter uses
-            # mode='drop' to discard out-of-bounds writes (a negative index
-            # would *wrap* like numpy and corrupt the last element).
+            # ---- flat output index (zigzag layout; dezigzag afterwards) ----
+            block_flat = (img_base + sel_slot(flat_off_t)
+                          + my * sel_slot(row_step_t)
+                          + mx * sel_slot(col_step_t))
+            coeff_idx = block_flat * 64 + k_coeff
+            # Masked lanes target one-past-the-end; the final scatter uses
+            # mode='drop' to discard them.
             coeff_idx = jnp.where(writes, coeff_idx, out_size)
             idx_buf = jax.lax.dynamic_update_slice(
-                idx_buf, coeff_idx[None, :], (nstep, 0))
+                idx_buf, coeff_idx[None], (nstep, 0, 0))
             val_buf = jax.lax.dynamic_update_slice(
-                val_buf, write_val[None, :], (nstep, 0))
+                val_buf, write_val[None], (nstep, 0, 0))
 
-            # Advance within-block position.
+            # ---- advance within-block / within-MCU position. ----
             k_next = jnp.where(is_dc, 1,
                                jnp.where(is_eob, 64,
                                          jnp.where(is_zrl, k + 16,
@@ -436,10 +541,13 @@ def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
             mcu_done = slot_next >= nslots
             slot_next = jnp.where(mcu_done, 0, slot_next)
             k_next = jnp.where(block_done, 0, k_next)
-            mcu_abs_next = jnp.where(mcu_done, mcu_abs + 1, mcu_abs)
+            mx_next = jnp.where(mcu_done, mx + 1, mx)
+            row_wrap = mx_next >= mcus_w
+            mx_next = jnp.where(row_wrap, 0, mx_next)
+            my_next = jnp.where(row_wrap, my + 1, my)
             mcu_rem_next = jnp.where(mcu_done, mcu_rem - 1, mcu_rem)
 
-            # Consume codelen+size bits (>= 1, <= 27).
+            # ---- consume codelen+size bits (>= 1, <= 27). ----
             n_u = (codelen + size).astype(jnp.uint32)
             acc0n = (acc0 << n_u) | ((acc1 >> 1) >> (31 - n_u))
             acc1n = acc1 << n_u
@@ -448,81 +556,126 @@ def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
             navail = jnp.where(active, navail - (codelen + size), navail)
 
             return (acc0, acc1, navail, wcur, slab, slab_id,
-                    jnp.where(active, mcu_abs_next, mcu_abs),
+                    jnp.where(active, mx_next, mx),
+                    jnp.where(active, my_next, my),
                     jnp.where(active, mcu_rem_next, mcu_rem),
                     jnp.where(active, slot_next, slot),
                     jnp.where(active, k_next, k),
                     dc_pred_next, err, nstep + 1, idx_buf, val_buf)
 
+        def step(state):
+            for _ in range(WAVE_UNROLL):
+                state = one_symbol(state)
+            return state
+
         def cond(state):
-            mcu_rem = state[7]
-            err = state[11]
-            nstep = state[12]
+            mcu_rem, err, nstep = state[8], state[12], state[13]
             return jnp.any((mcu_rem > 0) & ~err) & (nstep < max_steps)
 
+        mx0 = mcu_start % mcus_w
+        my0 = mcu_start // mcus_w
+        lane0 = jnp.zeros((R, LANE), jnp.int32)
         init = (
-            jnp.zeros(L, jnp.uint32),                   # acc0
-            jnp.zeros(L, jnp.uint32),                   # acc1
-            jnp.zeros(L, jnp.int32),                    # navail
-            jnp.zeros(L, jnp.int32),                    # wcur
-            jnp.zeros((L, 8), jnp.uint32),              # slab
-            jnp.full(L, -1, jnp.int32),                 # slab_id
-            mcu_start.astype(jnp.int32),                # mcu_abs
+            lane0.astype(jnp.uint32),                   # acc0
+            lane0.astype(jnp.uint32),                   # acc1
+            lane0,                                      # navail
+            lane0,                                      # wcur
+            jnp.zeros((R, 8, LANE), jnp.uint32),        # slab
+            lane0 - 1,                                  # slab_id
+            mx0.astype(jnp.int32),                      # mx
+            my0.astype(jnp.int32),                      # my
             mcu_count.astype(jnp.int32),                # mcu_rem
-            jnp.zeros(L, jnp.int32),                    # slot
-            jnp.zeros(L, jnp.int32),                    # k
-            jnp.zeros((L, ncomp), jnp.int32),           # dc_pred
-            jnp.zeros(L, jnp.bool_),                    # err
+            lane0,                                      # slot
+            lane0,                                      # k
+            tuple(lane0 for _ in range(ncomp)),         # dc_pred
+            jnp.zeros((R, LANE), jnp.bool_),            # err
             jnp.int32(0),                               # nstep
-            jnp.full((max_steps, L), out_size, jnp.int32),  # idx_buf
-            jnp.zeros((max_steps, L), jnp.int16),       # val_buf
+            jnp.full((max_steps, R, LANE), out_size, jnp.int32),  # idx_buf
+            jnp.zeros((max_steps, R, LANE), jnp.int16),  # val_buf
         )
         final = jax.lax.while_loop(cond, step, init)
-        mcu_rem = final[7]
-        err = final[11]
-        idx_buf, val_buf = final[13], final[14]
-        # Lanes that hit max_steps while still holding MCUs are *incomplete*
-        # (the caller escalates max_steps and retries), distinct from decode
-        # errors (corrupt stream).
-        incomplete = (~err) & (mcu_rem > 0)
+        mcu_rem, err = final[8], final[12]
+        idx_buf, val_buf = final[14], final[15]
+        # Lanes still holding MCUs after the hard bound can only be corrupt
+        # (a legit lane's symbol count is bounded by its payload bits).
+        err = err | (mcu_rem > 0)
         out = jnp.zeros(out_size, jnp.int16)
         out = out.at[idx_buf.reshape(-1)].set(val_buf.reshape(-1), mode="drop")
-        return out, err, incomplete
+        # De-zigzag: one static gather over the whole coefficient tensor.
+        out = out.reshape(-1, 64)[:, inv_zig].reshape(-1)
+        return out, err.reshape(-1)
 
     return jax.jit(decoder)
 
 
+def max_steps_bound(geom: GroupGeometry, packed: PackedSegments) -> int:
+    """Hard per-lane symbol bound: every symbol consumes >= 1 bit of real
+    payload while the lane is legit, and a block yields at most 65 symbols
+    (1 DC + up to 63 AC + EOB)."""
+    nslots = len(geom.flat_off)
+    block_bound = int(packed.mcu_count.max()) * nslots * 65
+    bits_bound = packed.max_seg_bits + 64
+    return max(256, min(-(-min(block_bound, bits_bound) // 256) * 256,
+                        block_bound))
+
+
+def wave_backend() -> str:
+    """'pallas' (TPU kernel, the production path) or 'jnp' (XLA while loop,
+    the portable/CPU path). Override with ROCJPEG_TPU_WAVE=jnp|pallas."""
+    import os
+    mode = os.environ.get("ROCJPEG_TPU_WAVE", "auto")
+    if mode in ("jnp", "pallas"):
+        return mode
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
+@functools.lru_cache(maxsize=32)
+def _scatter_epilogue(out_size: int):
+    """Bulk scatter of the (idx, val) emission buffers into the flat
+    coefficient tensor + dezigzag (shared by the Pallas wave path)."""
+    inv_zig = jnp.asarray(INV_ZIGZAG)
+
+    @jax.jit
+    def f(idx_buf, val_buf):
+        out = jnp.zeros(out_size, jnp.int16)
+        out = out.at[idx_buf.reshape(-1)].set(val_buf.reshape(-1),
+                                              mode="drop")
+        return out.reshape(-1, 64)[:, inv_zig].reshape(-1)
+
+    return f
+
+
 def decode_coefficients_on_device(params_list: Sequence[JpegStreamParams],
                                   tables: DeviceScanTables,
-                                  packed: PackedSegments):
-    """Run the wave decoder for one group. Returns (coeffs_flat jnp int16 of
-    shape (B*total_blocks*64,), err bool array, geometry)."""
+                                  packed: PackedSegments,
+                                  batch: int = 0):
+    """Run the wave decoder for one group — exactly one device program, no
+    host<->device syncs. Returns (coeffs_flat jnp int16 of shape
+    (B*total_blocks*64,), err device bool array, geometry). ``batch`` may
+    exceed len(params_list) to reuse a bucketed program."""
     p0 = params_list[0]
-    geom = GroupGeometry.from_params(p0, len(params_list))
-    # Hard symbol-count bound per lane: every symbol costs >= 1 bit, and a
-    # block yields at most 65 symbols (1 DC + up to 63 AC + EOB).
-    nslots = len(geom.comp_of_slot)
-    block_bound = int(packed.mcu_count.max()) * nslots * 65
-    bits_bound = packed.n_words * 32
-    hard_bound = int(min(block_bound, bits_bound))
-    # The emission buffers (and the final scatter) scale with max_steps, so
-    # start from a typical-content estimate (~20 symbols per block) and
-    # escalate 4x whenever a lane runs out of steps. Each size compiles once
-    # (persistently cached); photos rarely escalate.
-    est = int(packed.mcu_count.max()) * nslots * 20 + 64
-    max_steps = min(-(-min(est, hard_bound) // 256) * 256, hard_bound)
-    args = (packed.words, packed.img_idx, packed.mcu_start, packed.mcu_count,
-            tables.mincode, tables.maxcode, tables.valptr, tables.values)
-    while True:
-        fn = _compiled_wave_decoder(geom, int(packed.words.shape[0]),
-                                    int(packed.n_words), max_steps)
-        coeffs, err, incomplete = fn(*args)
-        if not bool(np.asarray(incomplete).any()):
-            break
-        if max_steps >= hard_bound:
-            err = err | incomplete  # ran the hard bound: stream is corrupt
-            break
-        max_steps = min(-(-(max_steps * 4) // 256) * 256, hard_bound)
+    geom = GroupGeometry.from_params(p0, batch or len(params_list))
+    max_steps = max_steps_bound(geom, packed)
+    L = packed.n_lanes
+    R = L // 128
+
+    def lanes2(a):
+        return a.reshape(R, 128)
+
+    if wave_backend() == "pallas":
+        from ..kernels import wave_pallas
+        fn = wave_pallas.build_wave_kernel(geom, L, packed.n_words, max_steps)
+        idx_buf, val_buf, err2 = fn(
+            packed.words, lanes2(packed.img_base), lanes2(packed.mcu_start),
+            lanes2(packed.mcu_count), tables.lentab, tables.values)
+        out_size = geom.batch * geom.total_blocks * 64
+        coeffs = _scatter_epilogue(out_size)(idx_buf, val_buf)
+        return coeffs, (err2 > 0).reshape(-1), geom
+
+    fn = _compiled_wave_decoder(geom, L, packed.n_words, max_steps)
+    coeffs, err = fn(packed.words, lanes2(packed.img_base),
+                     lanes2(packed.mcu_start), lanes2(packed.mcu_count),
+                     tables.lentab, tables.values)
     return coeffs, err, geom
 
 

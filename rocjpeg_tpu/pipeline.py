@@ -159,19 +159,28 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     wave entropy decoder (ops/device_entropy.py) expands it on-chip, and the
     fused dequant/IDCT/layout program consumes the coefficients in place.
 
+    No host<->device syncs happen here: the per-group error flags are
+    returned as a device array alongside the per-image channels, and the
+    caller decides when (or whether) to materialize them.
+
     Requires all images in the group to share Huffman tables (callers group
     by table digest)."""
     from .ops import device_entropy as de
 
     p0 = params_list[0]
     css = p0.chroma_subsampling
+    n = len(params_list)
+    # Batch bucketing: the wave program is keyed on the batch via out_size,
+    # so pad to power-of-two buckets (pad images contribute zero lanes; their
+    # coefficient slots decode to zero and are sliced away below).
+    batch = bucket_batch(n)
+    geom0 = de.GroupGeometry.from_params(p0, batch)
     tables = de.DeviceScanTables.from_params(p0)
-    packed = de.pack_segments(params_list)
+    packed = de.pack_segments(params_list, geom0.total_blocks)
     coeffs_flat, err, geom = de.decode_coefficients_on_device(
-        params_list, tables, packed)
+        params_list, tables, packed, batch=batch)
     comps = de.unflatten_coefficients(coeffs_flat, geom, p0)
 
-    n = len(params_list)
     qy_rows, qu_rows, qv_rows = [], [], []
     for p in params_list:
         for rows, ci in ((qy_rows, 0), (qu_rows, 1), (qv_rows, 2)):
@@ -180,13 +189,15 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
                 rows.append(dezigzag(p.quantiser_tables[qid].astype(np.int32)))
             else:
                 rows.append(np.ones(64, np.int32))
+    for rows in (qy_rows, qu_rows, qv_rows):
+        rows.extend([rows[0]] * (batch - n))
     qy = np.stack(qy_rows)
     qu = np.stack(qu_rows)
     qv = np.stack(qv_rows)
 
     y = comps[0]
-    u = comps[1] if len(comps) >= 3 else jnp.zeros((n, 1, 1, 64), jnp.int16)
-    v = comps[2] if len(comps) >= 3 else jnp.zeros((n, 1, 1, 64), jnp.int16)
+    u = comps[1] if len(comps) >= 3 else jnp.zeros((batch, 1, 1, 64), jnp.int16)
+    v = comps[2] if len(comps) >= 3 else jnp.zeros((batch, 1, 1, 64), jnp.int16)
     luma_blocks = tuple(y.shape[1:3])
     chroma_blocks = tuple(u.shape[1:3]) if len(comps) >= 3 else None
     crop_key = (crop.left, crop.top, crop.right, crop.bottom) if crop else None
@@ -194,15 +205,12 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
                          luma_blocks, chroma_blocks,
                          OutputFormat(output_format), crop_key)
     outs = fn(y, u, v, qy, qu, qv)
-    if bool(np.asarray(err).any()):
-        raise RocJpegError(Status.BAD_JPEG,
-                           "on-device entropy decode failed (corrupt scan)")
     pitches = output_pitches(css, p0.picture_width, p0.picture_height,
                              output_format, crop)
     per_image = []
     for i in range(n):
         per_image.append([(arr[i], pitch) for arr, pitch in zip(outs, pitches)])
-    return per_image
+    return per_image, err
 
 
 def decode_group(params_list, coeff_planes_list,

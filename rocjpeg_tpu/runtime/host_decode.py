@@ -31,6 +31,13 @@ def backend_name() -> str:
     return "native" if NATIVE_AVAILABLE else "python"
 
 
+def native_pack_module():
+    """The native module if it supports the wave segment packer, else None."""
+    if NATIVE_AVAILABLE and getattr(_native, "PACK_AVAILABLE", False):
+        return _native
+    return None
+
+
 def decode_coefficients(params: JpegStreamParams) -> List[np.ndarray]:
     """Entropy-decode one stream into per-component natural-order coefficient
     planes (blocks_h, blocks_w, 64) int16."""

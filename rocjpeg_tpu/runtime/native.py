@@ -71,6 +71,15 @@ def _load():
         lib = ctypes.CDLL(_LIB_PATH)
         lib.rjt_decode_scan.argtypes = [ctypes.POINTER(_RjtScanJob)]
         lib.rjt_decode_scan.restype = ctypes.c_int
+        if hasattr(lib, "rjt_seg_lens"):
+            lib.rjt_seg_lens.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_long]
+            lib.rjt_seg_lens.restype = ctypes.c_long
+            lib.rjt_pack_rows.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p,
+                ctypes.c_long, ctypes.c_long, ctypes.c_long]
+            lib.rjt_pack_rows.restype = ctypes.c_long
         return lib
     except OSError:
         return None
@@ -147,3 +156,24 @@ def decode_scan(params: JpegStreamParams,
         raise RocJpegError(Status.BAD_JPEG,
                            _ERROR_NAMES.get(rc, f"native decode error {rc}"))
     return outputs
+
+
+PACK_AVAILABLE = AVAILABLE and hasattr(_lib, "rjt_seg_lens")
+
+
+def seg_lens(scan: bytes, max_segs: int) -> np.ndarray:
+    """Clean (unstuffed) byte length of each restart segment of a scan."""
+    out = np.zeros(max_segs, np.int32)
+    n = _lib.rjt_seg_lens(scan, len(scan),
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                          max_segs)
+    return out[:min(int(n), max_segs)], int(n)
+
+
+def pack_rows(scan: bytes, words: np.ndarray, lane0: int, n_words: int,
+              max_segs: int) -> int:
+    """Write a scan's segments into the (R, n_words, 128)-uint32 transposed
+    word buffer starting at global lane ``lane0`` (GIL released)."""
+    return int(_lib.rjt_pack_rows(scan, len(scan),
+                                  ctypes.c_void_p(words.ctypes.data),
+                                  lane0, n_words, max_segs))

@@ -15,7 +15,8 @@ from rocjpeg_tpu.types import DecodeParams, OutputFormat
 def _check_wave(blobs):
     plist = [JpegStreamParser().parse(b) for b in blobs]
     tables = de.DeviceScanTables.from_params(plist[0])
-    packed = de.pack_segments(plist)
+    geom0 = de.GroupGeometry.from_params(plist[0], len(plist))
+    packed = de.pack_segments(plist, geom0.total_blocks)
     out, err, geom = de.decode_coefficients_on_device(plist, tables, packed)
     assert not bool(np.asarray(err).any())
     comps = de.unflatten_coefficients(out, geom, plist[0])
@@ -63,8 +64,9 @@ def test_wave_detects_corrupt_scan():
             bad[i] = 0xFF if i % 2 else 0xD9  # garbage marker-ish bytes
     p.slice_data = bytes(bad)
     tables = de.DeviceScanTables.from_params(p)
+    geom0 = de.GroupGeometry.from_params(p, 1)
     try:
-        packed = de.pack_segments([p])
+        packed = de.pack_segments([p], geom0.total_blocks)
     except Exception:
         return  # host-side segmentation already rejected it — fine
     _, err, _ = de.decode_coefficients_on_device([p], tables, packed)
