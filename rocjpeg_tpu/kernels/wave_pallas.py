@@ -42,6 +42,13 @@ _VAL_OFFS = (0, 16, 32, 194)
 _VAL_TOTAL = 356
 _VAL_WORDS = (_VAL_TOTAL + 3) // 4
 
+# Natural index of the k-th zigzag coefficient (ITU-T T.81 Figure 5).
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
 
 def _pick_r_tile(R: int, n_words: int) -> int:
     """Lane-tile height (sublane rows per grid program): keep the tile's
@@ -216,10 +223,16 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
             err = err | (active & overrun)
             write_val = jnp.where(is_dc, dc_new, val).astype(jnp.int16)
 
+            # Zigzag -> natural position (static select chain; a post-loop
+            # gather over the whole coefficient tensor is far slower).
+            k_nat = jnp.zeros_like(k_coeff)
+            for p in range(1, 64):
+                k_nat = jnp.where(k_coeff == p, jnp.int32(_ZIGZAG[p]), k_nat)
+
             block_flat = (img_base + sel_slot(slot, flat_off)
                           + my * sel_slot(slot, row_step)
                           + mx * sel_slot(slot, col_step))
-            coeff_idx = jnp.where(writes, block_flat * 64 + k_coeff,
+            coeff_idx = jnp.where(writes, block_flat * 64 + k_nat,
                                   jnp.int32(out_size))
 
             # ---- ring emission (parity dynamic, slot-in-round static) ----

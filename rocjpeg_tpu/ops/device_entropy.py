@@ -378,7 +378,6 @@ def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
     R = n_segs // LANE
     n_slabs = n_words // 8
     out_size = geom.batch * geom.total_blocks * 64
-    inv_zig = jnp.asarray(INV_ZIGZAG)
     # (1, T, 1)-shaped iotas / tables broadcast against (R, 1, 128) lanes.
 
     def mid(arr, dtype=jnp.int32):
@@ -390,6 +389,8 @@ def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
     slab_iota = mid(np.arange(n_slabs))
     vword_iota = mid(np.arange(_VAL_WORDS))
     tslot_iota = mid(np.arange(4))
+    zig_iota = mid(np.arange(64))
+    zigzag_t = mid(ZIGZAG_ORDER)
     lengths16 = mid(np.arange(1, 17), jnp.uint32)
     flat_off_t = mid(geom.flat_off)
     row_step_t = mid(geom.row_step)
@@ -518,11 +519,14 @@ def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
             err = err | (active & overrun)
             write_val = jnp.where(is_dc, dc_new, val).astype(jnp.int16)
 
-            # ---- flat output index (zigzag layout; dezigzag afterwards) ----
+            # ---- flat output index (natural order via in-loop zigzag
+            # select — a post-loop dezigzag gather is far slower on TPU) ----
+            zig_oh = (zig_iota == e(k_coeff))
+            k_nat = jnp.sum(jnp.where(zig_oh, zigzag_t, 0), axis=1)
             block_flat = (img_base + sel_slot(flat_off_t)
                           + my * sel_slot(row_step_t)
                           + mx * sel_slot(col_step_t))
-            coeff_idx = block_flat * 64 + k_coeff
+            coeff_idx = block_flat * 64 + k_nat
             # Masked lanes target one-past-the-end; the final scatter uses
             # mode='drop' to discard them.
             coeff_idx = jnp.where(writes, coeff_idx, out_size)
@@ -601,8 +605,6 @@ def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
         err = err | (mcu_rem > 0)
         out = jnp.zeros(out_size, jnp.int16)
         out = out.at[idx_buf.reshape(-1)].set(val_buf.reshape(-1), mode="drop")
-        # De-zigzag: one static gather over the whole coefficient tensor.
-        out = out.reshape(-1, 64)[:, inv_zig].reshape(-1)
         return out, err.reshape(-1)
 
     return jax.jit(decoder)
@@ -632,15 +634,14 @@ def wave_backend() -> str:
 @functools.lru_cache(maxsize=32)
 def _scatter_epilogue(out_size: int):
     """Bulk scatter of the (idx, val) emission buffers into the flat
-    coefficient tensor + dezigzag (shared by the Pallas wave path)."""
-    inv_zig = jnp.asarray(INV_ZIGZAG)
+    natural-order coefficient tensor (Pallas wave path)."""
 
     @jax.jit
     def f(idx_buf, val_buf):
         out = jnp.zeros(out_size, jnp.int16)
         out = out.at[idx_buf.reshape(-1)].set(val_buf.reshape(-1),
                                               mode="drop")
-        return out.reshape(-1, 64)[:, inv_zig].reshape(-1)
+        return out
 
     return f
 
