@@ -158,6 +158,27 @@ class Decoder:
             raise RocJpegError(Status.JPEG_NOT_SUPPORTED,
                                "the chroma subsampling is not supported")
 
+    @staticmethod
+    def _huffman_digest(p: JpegStreamParams) -> int:
+        """Cheap Huffman-table identity for group keys, memoized on the
+        params object (rebuilding decode tables per stream per call costs
+        ~0.2ms each)."""
+        d = getattr(p, "_huff_digest", None)
+        if d is None:
+            parts = []
+            for tid, t in enumerate(p.huffman_tables):
+                if t is None or not p.load_huffman_table[tid]:
+                    parts.append(b"-")
+                else:
+                    parts.append(bytes(t.num_dc_codes) + bytes(t.dc_values)
+                                 + bytes(t.num_ac_codes) + bytes(t.ac_values))
+            d = hash(b"|".join(parts))
+            try:
+                p._huff_digest = d
+            except Exception:
+                pass
+        return d
+
     def _group_device_eligible(self, plist) -> bool:
         """Whether the on-device entropy wave should decode this group."""
         if self._device_entropy == "on":
@@ -198,16 +219,12 @@ class Decoder:
         # Huffman-table digest, since a wave shares decode tables.
         use_dev = self._device_entropy != "off"
         groups = {}
-        digests = {}
         for idx, p in enumerate(stream_params):
             key = (p.chroma_subsampling, p.picture_width, p.picture_height,
                    tuple(c.h_sampling_factor for c in p.components),
                    tuple(c.v_sampling_factor for c in p.components))
             if use_dev:
-                if idx not in digests:
-                    from .ops.device_entropy import DeviceScanTables
-                    digests[idx] = hash(DeviceScanTables.from_params(p).digest)
-                key = key + (digests[idx],)
+                key = key + (self._huffman_digest(p),)
             groups.setdefault(key, []).append(idx)
 
         results: List[Optional[DecodedImage]] = [None] * len(streams)

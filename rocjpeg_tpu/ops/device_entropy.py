@@ -161,6 +161,22 @@ def _segment_image(scan: bytes):
     return clean, bounds
 
 
+_PACK_POOL = None
+
+
+def _pack_pool():
+    """Shared thread pool for the native packer (the C side releases the
+    GIL). Mirrors the reference's sample-level ThreadPool
+    (samples/rocjpeg_samples_utils.h:671-729) at the library layer."""
+    global _PACK_POOL
+    if _PACK_POOL is None:
+        import concurrent.futures
+        import os
+        _PACK_POOL = concurrent.futures.ThreadPoolExecutor(
+            max(1, os.cpu_count() or 1))
+    return _PACK_POOL
+
+
 def _bucket(n: int, quantum: int) -> int:
     """Round n up to a power-of-two-ish bucket (1-2-4-... times quantum)."""
     b = quantum
@@ -203,11 +219,18 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
     seg_len_rows = []
     cleans = None
     if native is not None:
-        for p, (needed, ri, total) in zip(params_list, geo):
+        def _lens(arg):
+            p, (needed, ri, total) = arg
             lens, found = native.seg_lens(p.slice_data, needed)
             if found < needed:
                 raise RocJpegError(Status.BAD_JPEG, "missing restart segments")
-            seg_len_rows.append(lens[:needed])
+            return lens[:needed]
+
+        jobs = list(zip(params_list, geo))
+        if len(jobs) > 1:
+            seg_len_rows = list(_pack_pool().map(_lens, jobs))
+        else:
+            seg_len_rows = [_lens(j) for j in jobs]
     else:
         cleans = []
         for p, (needed, ri, total) in zip(params_list, geo):
@@ -229,9 +252,17 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
     words = np.zeros((R, n_words, 128), np.uint32)
     lane0 = 0
     if native is not None:
+        jobs2 = []
         for p, (needed, ri, total) in zip(params_list, geo):
-            native.pack_rows(p.slice_data, words, lane0, n_words, needed)
+            jobs2.append((p.slice_data, lane0, needed))
             lane0 += needed
+        if len(jobs2) > 1:
+            list(_pack_pool().map(
+                lambda j: native.pack_rows(j[0], words, j[1], n_words,
+                                           j[2]), jobs2))
+        else:
+            for data, l0, needed in jobs2:
+                native.pack_rows(data, words, l0, n_words, needed)
     else:
         u8 = words.view(np.uint8).reshape(R, n_words, 128, 4)
         for (clean, seg_starts), lens in zip(cleans, seg_len_rows):

@@ -31,7 +31,8 @@ from .core.zigzag import dezigzag
 from .ops import idct as idct_ops
 from .ops import layout, postprocess
 from .status import RocJpegError, Status
-from .types import ChromaSubsampling, CropRectangle, OutputFormat
+from .types import (ChromaSubsampling, CropRectangle, LazyChannel,
+                    OutputFormat)
 
 CSS = ChromaSubsampling
 
@@ -209,7 +210,8 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
                              output_format, crop)
     per_image = []
     for i in range(n):
-        per_image.append([(arr[i], pitch) for arr, pitch in zip(outs, pitches)])
+        per_image.append([(LazyChannel(arr, i), pitch)
+                          for arr, pitch in zip(outs, pitches)])
     return per_image, err
 
 
@@ -236,5 +238,6 @@ def decode_group(params_list, coeff_planes_list,
                              output_format, crop)
     per_image = []
     for i in range(n):
-        per_image.append([(arr[i], pitch) for arr, pitch in zip(outs, pitches)])
+        per_image.append([(LazyChannel(arr, i), pitch)
+                          for arr, pitch in zip(outs, pitches)])
     return per_image

@@ -19,7 +19,8 @@ from ..types import CropRectangle, DecodeParams, OutputFormat
 
 FMT_NAMES = {
     "native": OutputFormat.NATIVE,
-    "yuv": OutputFormat.YUV_PLANAR,
+    "yuv_planar": OutputFormat.YUV_PLANAR,   # reference spelling
+    "yuv": OutputFormat.YUV_PLANAR,          # convenience alias
     "y": OutputFormat.Y,
     "rgb": OutputFormat.RGB,
     "rgb_planar": OutputFormat.RGB_PLANAR,

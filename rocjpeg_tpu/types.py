@@ -98,6 +98,56 @@ class DecodeParams:
     target_height: int = 0
 
 
+class LazyChannel:
+    """A per-image view into a batched device array, sliced on first use.
+
+    Decoding returns whole-batch device arrays; materializing ``arr[i]`` per
+    image per channel eagerly costs one device dispatch each (~100us over a
+    remote runtime — tens of ms per batch). This proxy defers the slice
+    until the channel is actually read. It quacks like an array where the
+    framework's consumers need it: ``np.asarray``, ``block_until_ready``,
+    ``shape``/``dtype``, indexing.
+    """
+
+    __slots__ = ("_batch", "_index", "_arr")
+
+    def __init__(self, batch_arr, index: int):
+        self._batch = batch_arr
+        self._index = index
+        self._arr = None
+
+    def _resolve(self):
+        if self._arr is None:
+            self._arr = self._batch[self._index]
+            self._batch = None
+        return self._arr
+
+    def __array__(self, dtype=None, copy=None):
+        import numpy as np
+        return np.asarray(self._resolve(), dtype=dtype)
+
+    def block_until_ready(self):
+        target = self._arr if self._arr is not None else self._batch
+        target.block_until_ready()
+        return self
+
+    @property
+    def shape(self):
+        if self._arr is not None:
+            return self._arr.shape
+        return self._batch.shape[1:]
+
+    @property
+    def dtype(self):
+        return (self._arr if self._arr is not None else self._batch).dtype
+
+    def __getitem__(self, key):
+        return self._resolve()[key]
+
+    def __repr__(self):
+        return f"LazyChannel(shape={self.shape}, dtype={self.dtype})"
+
+
 @dataclasses.dataclass
 class DecodedImage:
     """Decoded output; mirrors ``RocJpegImage`` (rocjpeg.h:104-107).
