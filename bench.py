@@ -45,10 +45,17 @@ def main():
     n_images = int(os.environ.get("BENCH_BATCH", "16"))
     w = int(os.environ.get("BENCH_W", "1024"))
     h = int(os.environ.get("BENCH_H", "1024"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
     fmt_name = os.environ.get("BENCH_FMT", "native")
     ri_mcus = int(os.environ.get("BENCH_RI_MCUS", "4"))
     entropy_mode = os.environ.get("BENCH_ENTROPY", "auto")
+    # Host threads submitting batches concurrently (the jpegDecodePerf
+    # model, samples/jpegDecodePerf/jpegdecodeperf.cpp:228-258). Default 1:
+    # the depth-2 async pipeline below already overlaps host work with
+    # device compute, and total in-flight device programs must stay small
+    # (>= ~3 concurrent wave-kernel instances can stall the runtime's
+    # scheduler on this platform).
+    n_threads = int(os.environ.get("BENCH_THREADS", "1"))
 
     # Persistent XLA compile cache: the wave decoder is a large program
     # (~2-3 min cold compile on the tunneled chip); warm runs start instantly.
@@ -86,16 +93,41 @@ def main():
     print("warmup done", file=sys.stderr)
 
     mpix_per_batch = n_images * w * h / 1e6
+    lasts = [None] * max(1, n_threads)
+
+    def worker(tid, count):
+        # Depth-2 pipeline: dispatch batch i, then block on batch i-1 —
+        # at most two batches in flight, overlapping host work of the
+        # current batch with device compute of the previous one.
+        import collections
+        inflight = collections.deque()
+        out = None
+        for _ in range(count):
+            out = decoder.decode_batched(streams, params)
+            inflight.append(out)
+            if len(inflight) > 1:
+                old = inflight.popleft()
+                old[0].channel[0].block_until_ready()
+        lasts[tid] = out
+
     t0 = time.perf_counter()
-    last = None
-    for _ in range(iters):
-        # JAX async dispatch overlaps this call's host entropy with the
-        # previous batch's device compute.
-        last = decoder.decode_batched(streams, params)
-    for img in last:
-        for ch in img.channel:
-            if ch is not None and hasattr(ch, "block_until_ready"):
-                ch.block_until_ready()
+    if n_threads <= 1:
+        worker(0, iters)
+    else:
+        import threading
+        per = [iters // n_threads + (1 if t < iters % n_threads else 0)
+               for t in range(n_threads)]
+        ts = [threading.Thread(target=worker, args=(t, per[t]))
+              for t in range(n_threads)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+    for last in lasts:
+        for img in last or []:
+            for ch in img.channel:
+                if ch is not None and hasattr(ch, "block_until_ready"):
+                    ch.block_until_ready()
     t1 = time.perf_counter()
 
     for e in decoder.last_error_flags:

@@ -317,15 +317,23 @@ int rjt_decode_scan(const RjtScanJob* jobp) {
 
 // Phase 1: clean (unstuffed) byte length of each restart segment.
 // Returns the number of segments found; lengths beyond max_segs are counted
-// but not stored.
+// but not stored. Scans with memchr: runs between 0xFF bytes are counted in
+// one step (JPEG entropy data is overwhelmingly non-0xFF).
 long rjt_seg_lens(const uint8_t* data, long n, int* seg_lens, long max_segs) {
   const uint8_t* s = data;
   const uint8_t* end = data + n;
   long nseg = 0;
   long cur = 0;
   while (s < end) {
-    uint8_t b = *s;
-    if (b == 0xFF && s + 1 < end) {
+    const uint8_t* ff =
+        (const uint8_t*)memchr(s, 0xFF, (size_t)(end - s));
+    if (!ff) {
+      cur += end - s;
+      break;
+    }
+    cur += ff - s;
+    s = ff;
+    if (s + 1 < end) {
       uint8_t nx = s[1];
       if (nx == 0x00) {
         ++cur;  // stuffed 0xFF
@@ -340,7 +348,7 @@ long rjt_seg_lens(const uint8_t* data, long n, int* seg_lens, long max_segs) {
         continue;
       }
     }
-    ++cur;
+    ++cur;  // lone/terminal 0xFF copied as data
     ++s;
   }
   if (nseg < max_segs) seg_lens[nseg] = (int)cur;
@@ -350,6 +358,11 @@ long rjt_seg_lens(const uint8_t* data, long n, int* seg_lens, long max_segs) {
 
 // Phase 2: write up to max_segs segments into the transposed word buffer,
 // starting at global lane lane0. Returns segments written.
+//
+// Fast path: memchr finds the next 0xFF; the clean run before it is copied
+// with big-endian word-composed 32-bit stores into the lane's strided
+// column (word j of lane (r,li) lives at byte offset ((r*n_words+j)*128
+// + li)*4 of the little-endian uint32 tensor).
 long rjt_pack_rows(const uint8_t* data, long n, uint8_t* out, long lane0,
                    long n_words, long max_segs) {
   const uint8_t* s = data;
@@ -366,9 +379,29 @@ long rjt_pack_rows(const uint8_t* data, long n, uint8_t* out, long lane0,
       lane_base[(i >> 2) * 512 + (3 - (i & 3))] = b;
     ++i;
   };
+  auto emit_run = [&](const uint8_t* p, long len) {
+    // Align to a word boundary of the clean index.
+    while (len > 0 && (i & 3)) { emit(*p++); --len; }
+    while (len >= 4 && i + 4 <= max_bytes) {
+      uint32_t w = ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+                   ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+      std::memcpy(lane_base + (i >> 2) * 512, &w, 4);
+      p += 4;
+      i += 4;
+      len -= 4;
+    }
+    while (len > 0) { emit(*p++); --len; }
+  };
   while (s < end && seg < max_segs) {
-    uint8_t b = *s;
-    if (b == 0xFF && s + 1 < end) {
+    const uint8_t* ff =
+        (const uint8_t*)memchr(s, 0xFF, (size_t)(end - s));
+    if (!ff) {
+      emit_run(s, end - s);
+      break;
+    }
+    if (ff > s) emit_run(s, ff - s);
+    s = ff;
+    if (s + 1 < end) {
       uint8_t nx = s[1];
       if (nx == 0x00) {
         emit(0xFF);
@@ -386,7 +419,7 @@ long rjt_pack_rows(const uint8_t* data, long n, uint8_t* out, long lane0,
         continue;
       }
     }
-    emit(b);
+    emit(0xFF);
     ++s;
   }
   return seg < max_segs ? seg + 1 : seg;

@@ -229,7 +229,13 @@ class Decoder:
 
         results: List[Optional[DecodedImage]] = [None] * len(streams)
         err_flags = []
-        with jax.default_device(self._device):
+        # jax.default_device carries measurable per-call overhead; only pay
+        # it when targeting a non-default device.
+        import contextlib
+        dev_ctx = (jax.default_device(self._device)
+                   if self._device != jax.devices()[0]
+                   else contextlib.nullcontext())
+        with dev_ctx:
             for key, idxs in groups.items():
                 plist = [stream_params[i] for i in idxs]
                 # Normalize the crop per group: an invalid ROI decodes the
