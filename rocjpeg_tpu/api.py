@@ -107,6 +107,12 @@ class Decoder:
         self._check_errors = check_errors
         self.last_error_flags: list = []
         self._lock = threading.Lock()
+        # Self-throttling async pipeline: decode_batched returns without
+        # waiting for the device, but keeps at most ``max_inflight`` wave
+        # submissions outstanding (deeper queues can stall the runtime
+        # scheduler; two is enough to fully overlap host and device work).
+        self._max_inflight = 2
+        self._inflight: list = []
 
     @property
     def spec(self) -> TpuDecodeSpec:
@@ -270,4 +276,11 @@ class Decoder:
                 raise RocJpegError(
                     Status.BAD_JPEG,
                     "on-device entropy decode failed (corrupt scan)")
+        elif err_flags:
+            # Throttle: bound outstanding async submissions without losing
+            # host/device overlap (see __init__).
+            with self._lock:
+                self._inflight.extend(err_flags)
+                while len(self._inflight) > self._max_inflight:
+                    self._inflight.pop(0).block_until_ready()
         return results

@@ -58,14 +58,85 @@ def _sharded_decode(mesh: Mesh, css: CSS, width: int, height: int,
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_wave_decode(mesh: Mesh, geom, n_lanes: int, n_words: int,
+                         max_steps: int, css: CSS, width: int, height: int,
+                         output_format: OutputFormat, crop: Optional[tuple]):
+    """The fully on-device distributed decode: shard_map over the 'data'
+    axis where each shard runs the wave entropy decoder on its images'
+    restart segments and the fused transform on its coefficient shard. No
+    collectives are needed — segments and images are independent — so
+    scaling is purely the input pipeline (SURVEY.md §2.4).
+
+    ``geom`` is the SHARD-LOCAL GroupGeometry (batch = images per shard);
+    n_lanes is the shard-local lane count."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older JAX
+        from jax.experimental.shard_map import shard_map
+    from ..ops import device_entropy as de
+    from ..pipeline import build_decode_fn
+
+    wave = de.build_wave_decoder(geom, n_lanes, n_words, max_steps)
+    decode = build_decode_fn(css, width, height, geom.ncomp >= 3,
+                             output_format, crop)
+    comp_slices = []
+    for ci in range(len(geom.comp_base)):
+        base = geom.comp_base[ci]
+        nxt = (geom.comp_base[ci + 1] if ci + 1 < len(geom.comp_base)
+               else geom.total_blocks)
+        bw = geom.blocks_w[ci]
+        comp_slices.append((base, nxt, bw, (nxt - base) // bw))
+
+    def shard_fn(words, img_base, mcu_start, mcu_count, lentab, values,
+                 qy, qu, qv):
+        coeffs, err = wave(words, img_base, mcu_start, mcu_count,
+                           lentab, values)
+        per_img = coeffs.reshape(geom.batch, geom.total_blocks * 64)
+        comps = []
+        for base, nxt, bw, bh in comp_slices:
+            comps.append(per_img[:, base * 64:nxt * 64]
+                         .reshape(geom.batch, bh, bw, 64))
+        while len(comps) < 3:
+            comps.append(jnp.zeros((geom.batch, 1, 1, 64), jnp.int16))
+        outs = decode(comps[0], comps[1], comps[2], qy, qu, qv)
+        return outs + (err,)
+
+    lane_spec = P("data")
+    rep = P()
+    import inspect
+    sig = inspect.signature(shard_map).parameters
+    kwargs = {}
+    if "check_rep" in sig:
+        kwargs["check_rep"] = False
+    elif "check_vma" in sig:
+        # The wave's while_loop carry starts from freshly-created (hence
+        # replicated) zeros but becomes data-varying inside the loop; the
+        # VMA checker rejects that even though the computation is purely
+        # per-shard, so disable it.
+        kwargs["check_vma"] = False
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(lane_spec, lane_spec, lane_spec, lane_spec, rep, rep,
+                  P("data"), P("data"), P("data")),
+        out_specs=P("data"), **kwargs)
+    return jax.jit(fn)
+
+
 class MeshDecoder:
     """Batch decoder sharding work across every device of a mesh.
 
     API-compatible with :class:`rocjpeg_tpu.api.Decoder` for
     ``decode_batched`` / ``decode`` / ``get_image_info``.
+
+    device_entropy='auto' runs the full pipeline (wave entropy decode +
+    transform) on-device per shard whenever the group's images share
+    Huffman tables and restart geometry; 'off' uses the host entropy
+    front-end with the sharded transform only.
     """
 
-    def __init__(self, mesh: Optional[Mesh] = None, space: int = 1):
+    def __init__(self, mesh: Optional[Mesh] = None, space: int = 1,
+                 device_entropy: str = "auto"):
         self.mesh = mesh or mesh_lib.make_mesh(space=space)
         from ..api import Decoder  # host-side helpers (validation, info)
         self._host = Decoder.__new__(Decoder)
@@ -73,6 +144,7 @@ class MeshDecoder:
         self._host._spec = TpuDecodeSpec(name="tpu-mesh")
         self._host._device = None
         self.spec = self._host._spec
+        self._device_entropy = device_entropy
 
     def get_image_info(self, stream):
         return self._host.get_image_info(stream)
@@ -90,14 +162,19 @@ class MeshDecoder:
             self._host._validate(p)
 
         n_data = self.mesh.shape["data"]
+        use_dev = self._device_entropy != "off"
         groups = {}
         for idx, p in enumerate(stream_params):
             key = (p.chroma_subsampling, p.picture_width, p.picture_height,
                    tuple(c.h_sampling_factor for c in p.components),
                    tuple(c.v_sampling_factor for c in p.components))
+            if use_dev:
+                from ..api import Decoder as _D
+                key = key + (p.restart_interval, _D._huffman_digest(p))
             groups.setdefault(key, []).append(idx)
 
         results: List[Optional[DecodedImage]] = [None] * len(streams)
+        self.last_error_flags = []
         for key, idxs in groups.items():
             plist = [stream_params[i] for i in idxs]
             p0 = plist[0]
@@ -107,6 +184,11 @@ class MeshDecoder:
                     and 0 < crop.height <= p0.picture_height):
                 crop = None
             crop_key = (crop.left, crop.top, crop.right, crop.bottom) if crop else None
+
+            if use_dev and self._wave_eligible(plist):
+                self._decode_group_wave(plist, idxs, params, crop_key,
+                                        results)
+                continue
 
             coeffs = host_decode.decode_coefficients_batch(plist)
             # Pad the batch to a power-of-two bucket that is also a multiple
@@ -146,3 +228,78 @@ class MeshDecoder:
                     img.pitch[ci] = pitch
                 results[i] = img
         return results
+
+    # ------------------------------------------------------------------
+    def _wave_eligible(self, plist) -> bool:
+        """The on-device wave needs enough parallel segments to pay off
+        (same policy as api.Decoder 'auto')."""
+        segs = 0
+        for p in plist:
+            interleaved = len(p.scan_components) > 1
+            total = p.num_mcus if interleaved else (
+                ((p.picture_width + 7) // 8) * ((p.picture_height + 7) // 8))
+            ri = p.restart_interval if p.restart_interval > 0 else total
+            segs += (total + ri - 1) // ri
+        return segs >= 64
+
+    def _decode_group_wave(self, plist, idxs, params, crop_key, results):
+        """Decode one group fully on-device, sharded over the 'data' axis:
+        per-image-uniform lane packing, shard_map(wave + transform)."""
+        from ..ops import device_entropy as de
+        from ..pipeline import bucket_batch, output_pitches
+        from ..core.zigzag import dezigzag
+        from ..types import LazyChannel
+        import numpy as _np
+
+        fmt = OutputFormat(params.output_format)
+        p0 = plist[0]
+        n = len(plist)
+        n_data = self.mesh.shape["data"]
+        batch = bucket_batch(max(n, n_data))
+        if batch % n_data:
+            batch = -(-batch // n_data) * n_data
+        padded = list(plist) + [plist[0]] * (batch - n)
+        local_batch = batch // n_data
+
+        geo = de._geometry_rows(padded, 0)
+        lanes_per_image = de._bucket(max(g[0] for g in geo), 128)
+        geom_local = de.GroupGeometry.from_params(p0, local_batch)
+        packed = de.pack_segments(padded, geom_local.total_blocks,
+                                  lanes_per_image=lanes_per_image,
+                                  local_batch=local_batch)
+        max_steps = de.max_steps_bound(geom_local, packed)
+        n_lanes_local = packed.n_lanes // n_data
+        R = packed.n_lanes // 128
+
+        fn = _sharded_wave_decode(self.mesh, geom_local, n_lanes_local,
+                                  packed.n_words, max_steps,
+                                  p0.chroma_subsampling, p0.picture_width,
+                                  p0.picture_height, fmt, crop_key)
+
+        qy_rows, qu_rows, qv_rows = [], [], []
+        for p in padded:
+            for rows, ci in ((qy_rows, 0), (qu_rows, 1), (qv_rows, 2)):
+                if ci < p.num_components:
+                    qid = p.components[ci].quantiser_table_selector
+                    rows.append(dezigzag(
+                        p.quantiser_tables[qid].astype(_np.int32)))
+                else:
+                    rows.append(_np.ones(64, _np.int32))
+        tables = de.DeviceScanTables.from_params(p0)
+        out = fn(packed.words, packed.img_base.reshape(R, 128),
+                 packed.mcu_start.reshape(R, 128),
+                 packed.mcu_count.reshape(R, 128),
+                 tables.lentab, tables.values,
+                 _np.stack(qy_rows), _np.stack(qu_rows), _np.stack(qv_rows))
+        outs, err = out[:-1], out[-1]
+        self.last_error_flags.append(err)
+        pitches = output_pitches(p0.chroma_subsampling, p0.picture_width,
+                                 p0.picture_height, fmt,
+                                 CropRectangle(*crop_key) if crop_key
+                                 else None)
+        for j, i in enumerate(idxs):
+            img = DecodedImage.empty()
+            for ci, (arr, pitch) in enumerate(zip(outs, pitches)):
+                img.channel[ci] = LazyChannel(arr, j)
+                img.pitch[ci] = pitch
+            results[i] = img

@@ -202,18 +202,41 @@ def _geometry_rows(params_list, total_blocks):
 
 
 def pack_segments(params_list: Sequence[JpegStreamParams],
-                  total_blocks: int) -> PackedSegments:
+                  total_blocks: int,
+                  lanes_per_image: int = 0,
+                  local_batch: int = 0) -> PackedSegments:
     """Split each image's scan at RSTn markers, unstuff, and pack all
     segments of the group into the TPU-layout word tensor (bits MSB-first
     within each big-endian word; lanes last). Uses the native C packer
     (csrc/rocjpeg_entropy.cpp rjt_seg_lens/rjt_pack_rows) when available,
-    with a vectorized numpy fallback."""
+    with a vectorized numpy fallback.
+
+    lanes_per_image > 0 switches to the mesh layout: every image occupies
+    exactly ``lanes_per_image`` lanes (padding lanes interleaved per image,
+    image i starting at lane i*lanes_per_image) so the lane axis shards
+    evenly over a batch-sharded mesh; ``local_batch`` (images per shard)
+    makes img_base shard-local."""
     from ..runtime import host_decode
     native = host_decode.native_pack_module()
 
     geo = _geometry_rows(params_list, total_blocks)
-    n_segs = sum(g[0] for g in geo)
-    n_pad = _bucket(max(n_segs, 1), 256)
+    if lanes_per_image:
+        if any(g[0] > lanes_per_image for g in geo):
+            raise RocJpegError(Status.INVALID_PARAMETER,
+                               "lanes_per_image below a segment count")
+        lane_starts = [i * lanes_per_image for i in range(len(geo))]
+        n_pad = lanes_per_image * len(geo)
+        if n_pad % 128:
+            raise RocJpegError(Status.INVALID_PARAMETER,
+                               "lanes_per_image * batch must be 128-aligned")
+    else:
+        starts = []
+        acc = 0
+        for g in geo:
+            starts.append(acc)
+            acc += g[0]
+        lane_starts = starts
+        n_pad = _bucket(max(acc, 1), 256)
 
     # ---- phase 1: clean segment lengths (native or numpy) ----
     seg_len_rows = []
@@ -250,12 +273,10 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
 
     # ---- phase 2: write segment bytes into the transposed word tensor ----
     words = np.zeros((R, n_words, 128), np.uint32)
-    lane0 = 0
     if native is not None:
         jobs2 = []
-        for p, (needed, ri, total) in zip(params_list, geo):
-            jobs2.append((p.slice_data, lane0, needed))
-            lane0 += needed
+        for p, (needed, ri, total), l0 in zip(params_list, geo, lane_starts):
+            jobs2.append((p.slice_data, l0, needed))
         if len(jobs2) > 1:
             list(_pack_pool().map(
                 lambda j: native.pack_rows(j[0], words, j[1], n_words,
@@ -265,28 +286,27 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
                 native.pack_rows(data, words, l0, n_words, needed)
     else:
         u8 = words.view(np.uint8).reshape(R, n_words, 128, 4)
-        for (clean, seg_starts), lens in zip(cleans, seg_len_rows):
+        for (clean, seg_starts), lens, l0 in zip(cleans, seg_len_rows,
+                                                 lane_starts):
             nseg = lens.size
             used = int(seg_starts[-1] + lens[-1]) if nseg else 0
-            lanes = lane0 + np.repeat(np.arange(nseg, dtype=np.int64), lens)
+            lanes = l0 + np.repeat(np.arange(nseg, dtype=np.int64), lens)
             within = np.arange(used, dtype=np.int64) - np.repeat(
                 seg_starts, lens)
             u8[lanes >> 7, within >> 2, lanes & 127,
                3 - (within & 3)] = clean[:used]
-            lane0 += nseg
 
     # ---- per-lane geometry arrays ----
     img_base = np.zeros(n_pad, np.int32)
     mcu_start = np.zeros(n_pad, np.int32)
     mcu_count = np.zeros(n_pad, np.int32)
-    lane0 = 0
-    for i, (needed, ri, total) in enumerate(geo):
-        sl = slice(lane0, lane0 + needed)
-        img_base[sl] = i * total_blocks
+    for i, ((needed, ri, total), l0) in enumerate(zip(geo, lane_starts)):
+        sl = slice(l0, l0 + needed)
+        local_i = i % local_batch if local_batch else i
+        img_base[sl] = local_i * total_blocks
         ms = np.arange(needed, dtype=np.int32) * ri
         mcu_start[sl] = ms
         mcu_count[sl] = np.minimum(ri, total - ms)
-        lane0 += needed
 
     return PackedSegments(
         words=words,
@@ -386,10 +406,13 @@ class GroupGeometry:
 WAVE_UNROLL = 2
 
 
-@functools.lru_cache(maxsize=64)
-def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
-                           max_steps: int):
-    """Build + jit the wave decoder for one static geometry.
+def build_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
+                       max_steps: int):
+    """Build the raw (un-jitted) wave decoder for one static geometry —
+    fn(words(R,n_words,128)u32, img_base(R,128), mcu_start(R,128),
+       mcu_count(R,128), lentab(4,16)u32, values(89,)u32)
+      -> (coeffs_flat int16, err bool)
+    Exposed un-jitted so the dist layer can wrap it in shard_map.
 
     TPU layout: lanes are shaped (R, 128) — the trailing 128 fills the VPU
     lane dimension, R fills sublanes — and every one-hot/table dimension sits
@@ -638,7 +661,14 @@ def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
         out = out.at[idx_buf.reshape(-1)].set(val_buf.reshape(-1), mode="drop")
         return out, err.reshape(-1)
 
-    return jax.jit(decoder)
+    return decoder
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
+                           max_steps: int):
+    """Jitted + cached single-device variant of :func:`build_wave_decoder`."""
+    return jax.jit(build_wave_decoder(geom, n_segs, n_words, max_steps))
 
 
 def max_steps_bound(geom: GroupGeometry, packed: PackedSegments) -> int:

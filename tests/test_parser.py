@@ -92,3 +92,37 @@ def test_component_block_dims(corpus):
     # 3840x2160 at 2x2: luma plane 240x480 blocks, chroma 135x240.
     assert p.component_block_dims(0) == (270, 480)
     assert p.component_block_dims(1) == (135, 240)
+
+
+def test_reject_progressive_sof():
+    """Progressive (SOF2) streams must fail with BAD_JPEG, like the
+    reference whose parser only consumes SOF0 (parser.cpp:160; the VCN
+    engine is baseline-only)."""
+    from rocjpeg_tpu.core.bitstream import JpegStreamParser
+    from rocjpeg_tpu.status import RocJpegError
+    from rocjpeg_tpu.testing import encoder
+    blob = bytearray(encoder.encode_planes(
+        encoder.random_planes("420", 64, 64, seed=0), "420"))
+    i = blob.find(b"\xff\xc0")
+    assert i >= 0
+    blob[i + 1] = 0xC2  # SOF0 -> SOF2
+    import pytest
+    with pytest.raises(RocJpegError):
+        JpegStreamParser().parse(bytes(blob))
+
+
+def test_reject_16bit_quant_tables():
+    """Pq=1 (16-bit) DQT entries are rejected (parser.cpp:230-233)."""
+    from rocjpeg_tpu.core.bitstream import JpegStreamParser
+    from rocjpeg_tpu.status import RocJpegError, Status
+    from rocjpeg_tpu.testing import encoder
+    blob = bytearray(encoder.encode_planes(
+        encoder.random_planes("400", 64, 64, seed=0), "400"))
+    i = blob.find(b"\xff\xdb")
+    assert i >= 0
+    # DQT segment: FF DB len_hi len_lo PqTq ... ; set Pq=1 (16-bit)
+    blob[i + 4] |= 0x10
+    import pytest
+    with pytest.raises(RocJpegError) as e:
+        JpegStreamParser().parse(bytes(blob))
+    assert e.value.status == Status.BAD_JPEG
