@@ -230,6 +230,110 @@ class MeshDecoder:
         return results
 
     # ------------------------------------------------------------------
+    def decode_batched_local(self, streams: Sequence, params=None):
+        """Pod-scale collective decode: every process calls this with its
+        OWN local streams (equal counts per process, one shape/table group);
+        the global batch is their concatenation in process order. Inputs are
+        assembled per host (jax.make_array_from_process_local_data), so no
+        image bytes ever cross hosts — the jpegDecodePerf per-thread file
+        partitioning (jpegdecodeperf.cpp:245-252) lifted to processes.
+
+        Returns (per_local_image_channels, pitches, err): channels as host
+        numpy arrays for this process's images."""
+        import numpy as _np
+        from ..ops import device_entropy as de
+        from ..pipeline import bucket_batch, output_pitches
+        from ..core.zigzag import dezigzag
+
+        params = params or DecodeParams()
+        fmt = OutputFormat(params.output_format)
+        plist = [s.params for s in streams]
+        for p in plist:
+            self._host._validate(p)
+        p0 = plist[0]
+        n_proc = jax.process_count()
+        n_data = self.mesh.shape["data"]
+        n_local = len(plist)
+        # Per-process local batch padded so the global batch splits evenly
+        # over the data axis.
+        local_batch = n_local
+        dev_per_proc = max(1, n_data // max(1, n_proc))
+        if local_batch % dev_per_proc:
+            local_batch = -(-local_batch // dev_per_proc) * dev_per_proc
+        padded = list(plist) + [plist[0]] * (local_batch - n_local)
+        batch = local_batch * n_proc
+        per_dev = batch // n_data
+
+        geo = de._geometry_rows(padded, 0)
+        lanes_per_image = de._bucket(max(g[0] for g in geo), 128)
+        geom_local = de.GroupGeometry.from_params(p0, per_dev)
+        packed = de.pack_segments(padded, geom_local.total_blocks,
+                                  lanes_per_image=lanes_per_image,
+                                  local_batch=per_dev)
+        max_steps = de.max_steps_bound(geom_local, packed)
+        lanes_global = packed.n_lanes * n_proc
+        n_lanes_dev = lanes_global // n_data
+        R_local = packed.n_lanes // 128
+
+        crop = params.crop_rectangle
+        if crop is not None and not (0 < crop.width <= p0.picture_width
+                                     and 0 < crop.height <= p0.picture_height):
+            crop = None
+        crop_key = (crop.left, crop.top, crop.right, crop.bottom) if crop else None
+        fn = _sharded_wave_decode(self.mesh, geom_local, n_lanes_dev,
+                                  packed.n_words, max_steps,
+                                  p0.chroma_subsampling, p0.picture_width,
+                                  p0.picture_height, fmt, crop_key)
+
+        qy_rows, qu_rows, qv_rows = [], [], []
+        for p in padded:
+            for rows, ci in ((qy_rows, 0), (qu_rows, 1), (qv_rows, 2)):
+                if ci < p.num_components:
+                    qid = p.components[ci].quantiser_table_selector
+                    rows.append(dezigzag(
+                        p.quantiser_tables[qid].astype(_np.int32)))
+                else:
+                    rows.append(_np.ones(64, _np.int32))
+        tables = de.DeviceScanTables.from_params(p0)
+
+        def globalize(local, spec):
+            if n_proc == 1:
+                return local
+            from jax import make_array_from_process_local_data
+            sh = NamedSharding(self.mesh, spec)
+            return make_array_from_process_local_data(sh, local)
+
+        lane = P("data")
+        args = (
+            globalize(packed.words, lane),
+            globalize(packed.img_base.reshape(R_local, 128), lane),
+            globalize(packed.mcu_start.reshape(R_local, 128), lane),
+            globalize(packed.mcu_count.reshape(R_local, 128), lane),
+            tables.lentab, tables.values,
+            globalize(_np.stack(qy_rows), lane),
+            globalize(_np.stack(qu_rows), lane),
+            globalize(_np.stack(qv_rows), lane),
+        )
+        out = fn(*args)
+        outs, err = out[:-1], out[-1]
+        pitches = output_pitches(p0.chroma_subsampling, p0.picture_width,
+                                 p0.picture_height, fmt,
+                                 CropRectangle(*crop_key) if crop_key
+                                 else None)
+
+        # Collect this process's images from the addressable output shards.
+        def local_rows(arr):
+            shards = sorted(arr.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return _np.concatenate([_np.asarray(s.data) for s in shards])
+
+        host_chans = [local_rows(a) for a in outs]
+        per_image = []
+        for i in range(n_local):
+            per_image.append([c[i] for c in host_chans])
+        return per_image, pitches, err
+
+    # ------------------------------------------------------------------
     def _wave_eligible(self, plist) -> bool:
         """The on-device wave needs enough parallel segments to pay off
         (same policy as api.Decoder 'auto')."""
