@@ -42,10 +42,12 @@ def build_corpus(n_images, w, h, seed=0, ri_mcus=None):
 
 
 def main():
-    n_images = int(os.environ.get("BENCH_BATCH", "16"))
-    w = int(os.environ.get("BENCH_W", "1024"))
-    h = int(os.environ.get("BENCH_H", "1024"))
-    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    # Headline config: batches of 4K (3840x2160) images — the resolution of
+    # the reference's bundled corpus (data/images/mug_*.jpg).
+    n_images = int(os.environ.get("BENCH_BATCH", "8"))
+    w = int(os.environ.get("BENCH_W", "3840"))
+    h = int(os.environ.get("BENCH_H", "2160"))
+    iters = int(os.environ.get("BENCH_ITERS", "12"))
     fmt_name = os.environ.get("BENCH_FMT", "native")
     ri_mcus = int(os.environ.get("BENCH_RI_MCUS", "4"))
     entropy_mode = os.environ.get("BENCH_ENTROPY", "auto")

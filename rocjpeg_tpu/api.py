@@ -235,6 +235,13 @@ class Decoder:
 
         results: List[Optional[DecodedImage]] = [None] * len(streams)
         err_flags = []
+        # Throttle BEFORE dispatching: at most max_inflight-1 prior
+        # submissions may be outstanding when new work enters the queue
+        # (a third concurrent wave-kernel instance can stall the runtime
+        # scheduler — see kernels/wave_pallas.py).
+        with self._lock:
+            while len(self._inflight) >= self._max_inflight:
+                self._inflight.pop(0).block_until_ready()
         # jax.default_device carries measurable per-call overhead; only pay
         # it when targeting a non-default device.
         import contextlib
@@ -277,10 +284,6 @@ class Decoder:
                     Status.BAD_JPEG,
                     "on-device entropy decode failed (corrupt scan)")
         elif err_flags:
-            # Throttle: bound outstanding async submissions without losing
-            # host/device overlap (see __init__).
             with self._lock:
                 self._inflight.extend(err_flags)
-                while len(self._inflight) > self._max_inflight:
-                    self._inflight.pop(0).block_until_ready()
         return results
