@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# CI entry point — the .jenkins/common.groovy analog: build the native
+# library, run the test suite (virtual 8-device CPU mesh), smoke the CLI
+# workloads against the reference corpus, then (on TPU machines) run the
+# benchmark. Mirrors the reference flow: build -> install -> test -> sample
+# run (SURVEY.md §4).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== build native =="
+make native
+
+echo "== unit + integration tests =="
+python -m pytest tests/ -q
+
+echo "== CLI smoke (reference corpus) =="
+if [ -d /root/reference/data/images ]; then
+  python -m rocjpeg_tpu.tools.jpegdecode -i /root/reference/data/images -fmt rgb
+fi
+
+if [ "${RUN_BENCH:-0}" = "1" ]; then
+  echo "== benchmark =="
+  python bench.py
+fi

@@ -425,6 +425,211 @@ long rjt_pack_rows(const uint8_t* data, long n, uint8_t* out, long lane0,
   return seg < max_segs ? seg + 1 : seg;
 }
 
-int rjt_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Native JPEG header parser — the C++ front-end mirroring the reference's
+// RocJpegStreamParser (src/rocjpeg_parser.cpp:43-470) and bit-for-bit
+// equivalent to the Python parser (rocjpeg_tpu/core/bitstream.py), which
+// remains the portable fallback and oracle.
+// ---------------------------------------------------------------------------
+
+struct RjtParsedHeader {
+  int32_t width, height, num_components;
+  int32_t comp_id[4], h_samp[4], v_samp[4], quant_sel[4];
+  uint8_t qtab[4][64];
+  uint8_t load_qtab[4];
+  uint8_t dc_bits[2][16], dc_vals[2][12];
+  uint8_t ac_bits[2][16], ac_vals[2][162];
+  uint8_t load_huff[2];
+  int32_t num_scan_components;
+  int32_t scan_comp_sel[4], scan_dc[4], scan_ac[4];
+  int32_t restart_interval;
+  int64_t scan_offset, scan_end;  // [scan_offset, scan_end) of the input
+  int32_t subsampling;            // ChromaSubsampling enum value
+  int64_t num_mcus;
+};
+
+namespace {
+
+// ChromaSubsampling enum values (rocjpeg_tpu/types.py, mirroring
+// api/rocjpeg.h:86-94 ordering).
+enum {
+  kCss444 = 0, kCss440 = 1, kCss422 = 2, kCss420 = 3,
+  kCss411 = 4, kCss400 = 5, kCssUnknown = 6,
+};
+
+int classify_css(int c1h, int c2h, int c3h, int c1v, int c2v, int c3v) {
+  auto is = [&](int a, int b, int c, int d, int e, int f) {
+    return c1h == a && c2h == b && c3h == c && c1v == d && c2v == e &&
+           c3v == f;
+  };
+  if (is(1, 1, 1, 1, 1, 1) || is(2, 2, 2, 2, 2, 2) || is(4, 4, 4, 4, 4, 4))
+    return kCss444;
+  if (is(1, 1, 1, 2, 1, 1)) return kCss440;
+  if (is(2, 1, 1, 1, 1, 1) || is(2, 1, 1, 2, 2, 2) || is(2, 2, 2, 2, 1, 1))
+    return kCss422;
+  if (is(2, 1, 1, 2, 1, 1)) return kCss420;
+  if (is(4, 1, 1, 1, 1, 1)) return kCss411;
+  if (c2h == 0 && c3h == 0 && c2v == 0 && c3v == 0 && c1h > 0 && c1v > 0)
+    return kCss400;
+  return kCssUnknown;
+}
+
+inline uint32_t be16(const uint8_t* p) {
+  return ((uint32_t)p[0] << 8) | p[1];
+}
+
+}  // namespace
+
+// Returns 0 on success, else a BAD_JPEG reason code (>0).
+enum {
+  RJT_PARSE_OK = 0,
+  RJT_PARSE_NO_SOI = 10,
+  RJT_PARSE_TRUNCATED = 11,
+  RJT_PARSE_BAD_COMPONENTS = 12,
+  RJT_PARSE_BAD_QTABLE = 13,
+  RJT_PARSE_QTABLE_16BIT = 14,
+  RJT_PARSE_BAD_HUFF = 15,
+  RJT_PARSE_NO_DHT = 16,
+  RJT_PARSE_NO_DQT = 17,
+  RJT_PARSE_NO_SOS = 18,
+  RJT_PARSE_BAD_SAMPLING = 19,
+  RJT_PARSE_BAD_DRI = 20,
+  RJT_PARSE_SOS_MISMATCH = 21,
+};
+
+int rjt_parse(const uint8_t* buf, long n, RjtParsedHeader* out) {
+  std::memset(out, 0, sizeof(*out));
+  out->subsampling = kCssUnknown;
+  if (n < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return RJT_PARSE_NO_SOI;
+
+  long pos = 2;
+  bool sos_found = false, dht_found = false, dqt_found = false;
+  long scan_start = 0;
+
+  while (!sos_found && pos < n) {
+    while (pos < n && buf[pos] == 0xFF) ++pos;  // fill bytes
+    if (pos >= n) break;
+    uint8_t marker = buf[pos];
+    ++pos;
+    if (pos + 2 > n) break;
+    long chunk_len = (long)be16(buf + pos);
+    long next_chunk = pos + chunk_len;
+
+    if (marker == 0xC0) {  // SOF0 (baseline only, parser.cpp:160)
+      if (pos + 8 > n) return RJT_PARSE_TRUNCATED;
+      out->height = (int32_t)be16(buf + pos + 3);
+      out->width = (int32_t)be16(buf + pos + 5);
+      out->num_components = buf[pos + 7];
+      if (out->num_components > 3) return RJT_PARSE_BAD_COMPONENTS;
+      long q = pos + 8;
+      if (q + 3L * out->num_components > n) return RJT_PARSE_TRUNCATED;
+      for (int i = 0; i < out->num_components; ++i) {
+        out->comp_id[i] = buf[q];
+        out->h_samp[i] = buf[q + 1] >> 4;
+        out->v_samp[i] = buf[q + 1] & 0xF;
+        out->quant_sel[i] = buf[q + 2];
+        if (out->quant_sel[i] >= 4) return RJT_PARSE_BAD_QTABLE;
+        q += 3;
+      }
+      int h0 = out->h_samp[0], v0 = out->v_samp[0];
+      if (h0 == 0 || v0 == 0) return RJT_PARSE_BAD_SAMPLING;
+      out->num_mcus = (long)((out->width + h0 * 8 - 1) / (h0 * 8)) *
+                      ((out->height + v0 * 8 - 1) / (v0 * 8));
+      int nc = out->num_components;
+      out->subsampling = classify_css(
+          out->h_samp[0], nc > 1 ? out->h_samp[1] : 0,
+          nc > 2 ? out->h_samp[2] : 0, out->v_samp[0],
+          nc > 1 ? out->v_samp[1] : 0, nc > 2 ? out->v_samp[2] : 0);
+    } else if (marker == 0xC4) {  // DHT (parser.cpp:256)
+      long length = chunk_len - 2;
+      long q = pos + 2;
+      while (length > 0) {
+        if (q + 17 > n) return RJT_PARSE_TRUNCATED;
+        uint8_t index = buf[q];
+        ++q;
+        bool is_ac = (index & 0xF0) != 0;
+        int tid = index & 0x0F;
+        if (tid >= 2) return RJT_PARSE_BAD_HUFF;
+        long count = 0;
+        for (int i = 0; i < 16; ++i) count += buf[q + i];
+        if (q + 16 + count > n) return RJT_PARSE_TRUNCATED;
+        if (is_ac) {
+          if (count > 162) return RJT_PARSE_BAD_HUFF;
+          std::memcpy(out->ac_bits[tid], buf + q, 16);
+          std::memcpy(out->ac_vals[tid], buf + q + 16, count);
+        } else {
+          if (count > 12) return RJT_PARSE_BAD_HUFF;
+          std::memcpy(out->dc_bits[tid], buf + q, 16);
+          std::memcpy(out->dc_vals[tid], buf + q + 16, count);
+        }
+        out->load_huff[tid] = 1;
+        q += 16 + count;
+        length -= 1 + 16 + count;
+      }
+      dht_found = true;
+    } else if (marker == 0xDB) {  // DQT (parser.cpp:217)
+      long end = pos + chunk_len;
+      long q = pos + 2;
+      while (q < end) {
+        if (q + 1 + 64 > n) return RJT_PARSE_TRUNCATED;
+        uint8_t index = buf[q];
+        ++q;
+        if (index >> 4) return RJT_PARSE_QTABLE_16BIT;
+        if (index >= 4) return RJT_PARSE_BAD_QTABLE;
+        std::memcpy(out->qtab[index & 0x0F], buf + q, 64);
+        out->load_qtab[index & 0x0F] = 1;
+        q += 64;
+      }
+      dqt_found = true;
+    } else if (marker == 0xDD) {  // DRI (parser.cpp:374)
+      if (chunk_len != 4 || pos + 4 > n) return RJT_PARSE_BAD_DRI;
+      out->restart_interval = (int32_t)be16(buf + pos + 2);
+    } else if (marker == 0xDA) {  // SOS (parser.cpp:324)
+      if (pos + 3 > n) return RJT_PARSE_TRUNCATED;
+      int nsc = buf[pos + 2];
+      if (nsc > 3) return RJT_PARSE_BAD_COMPONENTS;
+      long q = pos + 3;
+      if (q + 2L * nsc + 3 > n) return RJT_PARSE_TRUNCATED;
+      out->num_scan_components = nsc;
+      for (int i = 0; i < nsc; ++i) {
+        int cid = buf[q];
+        int table = buf[q + 1];
+        q += 2;
+        out->scan_comp_sel[i] = cid;
+        out->scan_dc[i] = (table >> 4) & 0x0F;
+        out->scan_ac[i] = table & 0x0F;
+        if (out->scan_dc[i] >= 4 || out->scan_ac[i] >= 4)
+          return RJT_PARSE_BAD_HUFF;
+        if (i >= out->num_components || cid != out->comp_id[i])
+          return RJT_PARSE_SOS_MISMATCH;
+      }
+      scan_start = q + 3;  // skip Ss, Se, Ah/Al
+      sos_found = true;
+    }
+    pos = next_chunk;
+  }
+
+  if (!dht_found) return RJT_PARSE_NO_DHT;
+  if (!dqt_found) return RJT_PARSE_NO_DQT;
+  if (!sos_found) return RJT_PARSE_NO_SOS;
+
+  // ParseEOI: slice data = [scan_start .. 0xFFD9) or rest of buffer.
+  long end = n;
+  for (const uint8_t* s = buf + scan_start;;) {
+    const uint8_t* ff = (const uint8_t*)memchr(
+        s, 0xFF, (size_t)(buf + n - s));
+    if (!ff || ff + 1 >= buf + n) break;
+    if (ff[1] == 0xD9) {
+      end = ff - buf;
+      break;
+    }
+    s = ff + 1;
+  }
+  out->scan_offset = scan_start;
+  out->scan_end = end;
+  return RJT_PARSE_OK;
+}
+
+int rjt_version() { return 3; }
 
 }  // extern "C"

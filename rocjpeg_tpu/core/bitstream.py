@@ -143,6 +143,27 @@ class JpegStreamParams:
                 self.mcus_per_row * c.h_sampling_factor)
 
 
+_NATIVE_PARSER = ("unset",)
+
+
+def _native_parser():
+    """The native parse function, or None (cached; import cycles force the
+    lazy lookup)."""
+    global _NATIVE_PARSER
+    if _NATIVE_PARSER == ("unset",):
+        import os
+        fn = None
+        if os.environ.get("ROCJPEG_TPU_PARSER") != "python":
+            try:
+                from ..runtime import native as _n
+                if getattr(_n, "PARSE_AVAILABLE", False):
+                    fn = _n.parse_header
+            except Exception:
+                fn = None
+        _NATIVE_PARSER = (fn,)
+    return _NATIVE_PARSER[0]
+
+
 class JpegStreamParser:
     """Stream parser session — analog of ``RocJpegStreamParser``
     (parser.h:186-269). One parser holds the params of the last parsed
@@ -160,9 +181,18 @@ class JpegStreamParser:
 
     def parse(self, data: bytes) -> JpegStreamParams:
         """ParseJpegStream analog (parser.cpp:43-124). Raises RocJpegError
-        with Status.BAD_JPEG on malformed input."""
+        with Status.BAD_JPEG on malformed input.
+
+        Uses the native C++ parser (csrc/ rjt_parse) when built — exact
+        same fields and error strings; this Python implementation is the
+        portable fallback and the oracle it is tested against. Force it
+        with ROCJPEG_TPU_PARSER=python."""
         if data is None:
             raise RocJpegError(Status.INVALID_PARAMETER, "data is None")
+        native = _native_parser()
+        if native is not None:
+            self._params = native(bytes(data))
+            return self._params
         buf = bytes(data)
         n = len(buf)
         if n < 4 or buf[0] != 0xFF or buf[1] != SOI:

@@ -49,6 +49,40 @@ _ERROR_NAMES = {
     3: "AC index overflow", 4: "scan data exhausted", 5: "missing restart segments",
 }
 
+_PARSE_ERRORS = {
+    10: "invalid JPEG: missing SOI", 11: "corrupt marker segment: truncated",
+    12: "invalid number of JPEG components",
+    13: "invalid quantization table id",
+    14: "16-bit quantization table is not supported",
+    15: "invalid Huffman table", 16: "didn't find any Huffman table",
+    17: "didn't find any quantization table",
+    18: "didn't find the SOS marker", 19: "invalid sampling factors",
+    20: "invalid size for DRI marker",
+    21: "component id mismatch between SOS and SOF",
+}
+
+
+class _RjtParsedHeader(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_int32), ("height", ctypes.c_int32),
+        ("num_components", ctypes.c_int32),
+        ("comp_id", ctypes.c_int32 * 4), ("h_samp", ctypes.c_int32 * 4),
+        ("v_samp", ctypes.c_int32 * 4), ("quant_sel", ctypes.c_int32 * 4),
+        ("qtab", (ctypes.c_uint8 * 64) * 4),
+        ("load_qtab", ctypes.c_uint8 * 4),
+        ("dc_bits", (ctypes.c_uint8 * 16) * 2),
+        ("dc_vals", (ctypes.c_uint8 * 12) * 2),
+        ("ac_bits", (ctypes.c_uint8 * 16) * 2),
+        ("ac_vals", (ctypes.c_uint8 * 162) * 2),
+        ("load_huff", ctypes.c_uint8 * 2),
+        ("num_scan_components", ctypes.c_int32),
+        ("scan_comp_sel", ctypes.c_int32 * 4),
+        ("scan_dc", ctypes.c_int32 * 4), ("scan_ac", ctypes.c_int32 * 4),
+        ("restart_interval", ctypes.c_int32),
+        ("scan_offset", ctypes.c_int64), ("scan_end", ctypes.c_int64),
+        ("subsampling", ctypes.c_int32), ("num_mcus", ctypes.c_int64),
+    ]
+
 _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "librocjpeg_host.so")
 
@@ -71,6 +105,10 @@ def _load():
         lib = ctypes.CDLL(_LIB_PATH)
         lib.rjt_decode_scan.argtypes = [ctypes.POINTER(_RjtScanJob)]
         lib.rjt_decode_scan.restype = ctypes.c_int
+        if hasattr(lib, "rjt_parse"):
+            lib.rjt_parse.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                                      ctypes.POINTER(_RjtParsedHeader)]
+            lib.rjt_parse.restype = ctypes.c_int
         if hasattr(lib, "rjt_seg_lens"):
             lib.rjt_seg_lens.argtypes = [
                 ctypes.c_char_p, ctypes.c_long,
@@ -159,6 +197,65 @@ def decode_scan(params: JpegStreamParams,
 
 
 PACK_AVAILABLE = AVAILABLE and hasattr(_lib, "rjt_seg_lens")
+PARSE_AVAILABLE = AVAILABLE and hasattr(_lib, "rjt_parse")
+
+
+def parse_header(data: bytes):
+    """Native JPEG header parse; fills a JpegStreamParams exactly like the
+    Python parser (core/bitstream.py). Raises RocJpegError(BAD_JPEG) with
+    the Python parser's message strings."""
+    from ..core import bitstream as bs
+
+    hdr = _RjtParsedHeader()
+    rc = _lib.rjt_parse(data, len(data), ctypes.byref(hdr))
+    if rc != 0:
+        raise RocJpegError(Status.BAD_JPEG,
+                           _PARSE_ERRORS.get(rc, f"parse error {rc}"))
+    p = bs.JpegStreamParams()
+    p.picture_width = hdr.width
+    p.picture_height = hdr.height
+    p.num_components = hdr.num_components
+    p.components = [
+        bs.FrameComponent(component_id=hdr.comp_id[i],
+                          h_sampling_factor=hdr.h_samp[i],
+                          v_sampling_factor=hdr.v_samp[i],
+                          quantiser_table_selector=hdr.quant_sel[i])
+        for i in range(hdr.num_components)
+    ]
+    # One bulk copy of the struct; numpy views into it by field offset
+    # (per-field ctypes->numpy conversion costs ~10us each).
+    raw = bytearray(bytes(hdr))
+    H = _RjtParsedHeader
+
+    def view(field, count, shape=None):
+        a = np.frombuffer(raw, np.uint8, count, getattr(H, field).offset)
+        return a.reshape(shape) if shape else a
+
+    p.quantiser_tables = view("qtab", 256, (4, 64))
+    p.load_quantiser_table = view("load_qtab", 4)
+    dc_bits = view("dc_bits", 32, (2, 16))
+    dc_vals = view("dc_vals", 24, (2, 12))
+    ac_bits = view("ac_bits", 32, (2, 16))
+    ac_vals = view("ac_vals", 324, (2, 162))
+    for tid in range(2):
+        t = p.huffman_tables[tid]
+        t.num_dc_codes = dc_bits[tid]
+        t.dc_values = dc_vals[tid]
+        t.num_ac_codes = ac_bits[tid]
+        t.ac_values = ac_vals[tid]
+    p.load_huffman_table = view("load_huff", 2)
+    p.scan_components = [
+        bs.ScanComponent(component_selector=hdr.scan_comp_sel[i],
+                         dc_table_selector=hdr.scan_dc[i],
+                         ac_table_selector=hdr.scan_ac[i])
+        for i in range(hdr.num_scan_components)
+    ]
+    p.restart_interval = hdr.restart_interval
+    p.num_mcus = int(hdr.num_mcus)
+    p.slice_data = data[hdr.scan_offset:hdr.scan_end]
+    from ..types import ChromaSubsampling
+    p.chroma_subsampling = ChromaSubsampling(hdr.subsampling)
+    return p
 
 
 def seg_lens(scan: bytes, max_segs: int) -> np.ndarray:

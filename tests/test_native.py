@@ -61,3 +61,80 @@ def test_batch_backend_threads(corpus):
         ref = entropy.decode_scan(p)
         for a, b in zip(ref, planes):
             np.testing.assert_array_equal(a, b)
+
+
+def test_native_parser_matches_python():
+    """The C++ parser must produce field-identical params and identical
+    error strings vs the Python oracle, across the corpus, synthetic CSS
+    matrix, and malformed inputs."""
+    import numpy as np
+    import pytest
+    from rocjpeg_tpu.core import bitstream as bs
+    from rocjpeg_tpu.runtime import native
+    from rocjpeg_tpu.status import RocJpegError
+    from rocjpeg_tpu.testing import encoder
+
+    if not getattr(native, "PARSE_AVAILABLE", False):
+        pytest.skip("native parser not built")
+
+    blobs = []
+    for css in ("444", "440", "422", "420", "411", "400"):
+        blobs.append(encoder.encode_planes(
+            encoder.random_planes(css, 96, 64, seed=1), css,
+            restart_interval=3))
+    import glob
+    for path in sorted(glob.glob("/root/reference/data/images/*.jpg")):
+        blobs.append(open(path, "rb").read())
+    # Malformed variants of the first blob.
+    bad = [b"", b"\xff\xd8", blobs[0][:40], blobs[0][:200],
+           blobs[0].replace(b"\xff\xc0", b"\xff\xc2", 1)]
+
+    def py_parse(data):
+        parser = bs.JpegStreamParser()
+        # call the python path directly by bypassing the native hook
+        orig = bs._NATIVE_PARSER
+        bs._NATIVE_PARSER = (None,)
+        try:
+            return parser.parse(data)
+        finally:
+            bs._NATIVE_PARSER = orig
+
+    for blob in blobs:
+        a = py_parse(blob)
+        b = native.parse_header(blob)
+        assert (a.picture_width, a.picture_height, a.num_components) == \
+               (b.picture_width, b.picture_height, b.num_components)
+        assert a.chroma_subsampling == b.chroma_subsampling
+        assert a.restart_interval == b.restart_interval
+        assert a.num_mcus == b.num_mcus
+        assert a.slice_data == b.slice_data
+        for ca, cb in zip(a.components, b.components):
+            assert dataclasses_equal(ca, cb)
+        for sa, sc in zip(a.scan_components, b.scan_components):
+            assert dataclasses_equal(sa, sc)
+        np.testing.assert_array_equal(a.quantiser_tables, b.quantiser_tables)
+        np.testing.assert_array_equal(a.load_quantiser_table,
+                                      b.load_quantiser_table)
+        np.testing.assert_array_equal(a.load_huffman_table,
+                                      b.load_huffman_table)
+        for ta, tb in zip(a.huffman_tables, b.huffman_tables):
+            for f in ("num_dc_codes", "dc_values", "num_ac_codes", "ac_values"):
+                np.testing.assert_array_equal(getattr(ta, f), getattr(tb, f))
+
+    for blob in bad:
+        try:
+            py_parse(blob)
+            py_err = None
+        except RocJpegError as e:
+            py_err = str(e)
+        try:
+            native.parse_header(blob)
+            nat_err = None
+        except RocJpegError as e:
+            nat_err = str(e)
+        assert (py_err is None) == (nat_err is None), (py_err, nat_err)
+
+
+def dataclasses_equal(a, b):
+    import dataclasses
+    return dataclasses.asdict(a) == dataclasses.asdict(b)
