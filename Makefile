@@ -5,14 +5,32 @@ CXX ?= g++
 CXXFLAGS ?= -O3 -std=c++17 -shared -fPIC -pthread -fno-exceptions
 NATIVE_LIB = rocjpeg_tpu/runtime/librocjpeg_host.so
 
-.PHONY: all native test test-fast bench clean
+# C ABI library (the librocjpeg.so analog: 9 extern "C" entry points backed
+# by an embedded CPython runtime) + the C sample that exercises it.
+PY_EMBED_CFLAGS := $(shell python3-config --includes)
+PY_EMBED_LDFLAGS := $(shell python3-config --ldflags --embed)
+CAPI_LIB = build/librocjpeg_tpu.so
+CAPI_SAMPLE = build/jpegdecode_c
 
-all: native
+.PHONY: all native capi test test-fast bench clean
+
+all: native capi
 
 native: $(NATIVE_LIB)
 
 $(NATIVE_LIB): csrc/rocjpeg_entropy.cpp
 	$(CXX) $(CXXFLAGS) $< -o $@
+
+capi: $(CAPI_LIB) $(CAPI_SAMPLE)
+
+$(CAPI_LIB): csrc/rocjpeg_capi.cpp include/rocjpeg_tpu.h
+	@mkdir -p build
+	$(CXX) -O2 -std=c++17 -shared -fPIC -pthread $(PY_EMBED_CFLAGS) \
+	    csrc/rocjpeg_capi.cpp -o $@ $(PY_EMBED_LDFLAGS)
+
+$(CAPI_SAMPLE): csrc/samples/jpegdecode_c.cpp $(CAPI_LIB)
+	$(CXX) -O2 -std=c++17 csrc/samples/jpegdecode_c.cpp -o $@ \
+	    -Lbuild -lrocjpeg_tpu -Wl,-rpath,'$$ORIGIN'
 
 test: native
 	python -m pytest tests/ -q

@@ -8,7 +8,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== build native =="
-make native
+make native capi
 
 echo "== unit + integration tests =="
 python -m pytest tests/ -q
