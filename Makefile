@@ -21,7 +21,29 @@ native: $(NATIVE_LIB)
 $(NATIVE_LIB): csrc/rocjpeg_entropy.cpp
 	$(CXX) $(CXXFLAGS) $< -o $@
 
+# ASAN variant of the native host library (the reference's rocjpeg-asan
+# package analog, reference CMakeLists.txt:160,200-206,249-266); exercised
+# by `make test-asan` (libasan preloaded, leak check off under CPython).
+ASAN_LIB = build/librocjpeg_host_asan.so
+ASAN_RT := $(shell $(CXX) -print-file-name=libasan.so)
+
 capi: $(CAPI_LIB) $(CAPI_SAMPLE)
+
+native-asan: $(ASAN_LIB)
+
+$(ASAN_LIB): csrc/rocjpeg_entropy.cpp
+	@mkdir -p build
+	$(CXX) -O1 -g -std=c++17 -shared -fPIC -pthread -fno-exceptions \
+	    -fsanitize=address $< -o $@
+
+# Host-only tests under ASAN: the XLA-driving suites can't run with libasan
+# preloaded (jaxlib's statically linked C++ runtime trips the __cxa_throw
+# interceptor); the native C++ paths are exactly what these suites cover.
+test-asan: native-asan
+	LD_PRELOAD=$(ASAN_RT) ASAN_OPTIONS=detect_leaks=0 \
+	ROCJPEG_HOST_LIB=$(CURDIR)/$(ASAN_LIB) \
+	python -m pytest tests/test_native.py tests/test_native_fuzz.py \
+	    tests/test_parser.py -q
 
 $(CAPI_LIB): csrc/rocjpeg_capi.cpp include/rocjpeg_tpu.h
 	@mkdir -p build

@@ -10,6 +10,9 @@ cd "$(dirname "$0")/.."
 echo "== build native =="
 make native capi
 
+echo "== ASAN (native host library) =="
+make test-asan
+
 echo "== unit + integration tests =="
 python -m pytest tests/ -q
 

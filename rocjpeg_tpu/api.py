@@ -37,6 +37,7 @@ from .runtime import host_decode
 from .status import RocJpegError, Status
 from .types import (Backend, ChromaSubsampling, CropRectangle, DecodedImage,
                     DecodeParams, ImageInfo, OutputFormat, TpuDecodeSpec)
+from .types import spec_for_device as types_spec_for_device
 
 CSS = ChromaSubsampling
 
@@ -99,7 +100,7 @@ class Decoder:
                 Status.NOT_INITIALIZED,
                 f"device_id {device_id} out of range ({len(devices)} devices)")
         self._device = devices[device_id]
-        self._spec = spec or TpuDecodeSpec(name=str(self._device.platform))
+        self._spec = spec or types_spec_for_device(self._device)
         if device_entropy not in ("on", "off", "auto"):
             raise RocJpegError(Status.INVALID_PARAMETER,
                                f"bad device_entropy mode {device_entropy!r}")

@@ -83,8 +83,11 @@ class _RjtParsedHeader(ctypes.Structure):
         ("subsampling", ctypes.c_int32), ("num_mcus", ctypes.c_int64),
     ]
 
-_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "librocjpeg_host.so")
+# ROCJPEG_HOST_LIB overrides the library path — used by `make test-asan` to
+# load the -fsanitize=address build (the reference ships an ASAN package
+# variant, CMakeLists.txt:160,200-206).
+_LIB_PATH = os.environ.get("ROCJPEG_HOST_LIB") or os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "librocjpeg_host.so")
 
 
 def _load():

@@ -201,3 +201,34 @@ class TpuDecodeSpec:
     min_height: int = 64
     max_width: int = 16384  # MI300/Navi-class max (docs rst:25-28)
     max_height: int = 16384
+
+
+# Per-generation capability table — the analog of the per-arch VcnJpegSpec
+# constants compiled into the reference (src/rocjpeg_vaapi_decoder.cpp:294-305,
+# selected by gfx arch at InitializeDecoder, :365-422). Keyed by substring of
+# ``jax.Device.device_kind``; checked in order, first match wins. All
+# capabilities are software here, so only ``num_decode_lanes`` (the
+# batch-width that saturates one chip — scales with HBM bandwidth, the
+# decode pipeline's bottleneck resource) varies by generation.
+_TPU_SPEC_TABLE = (
+    ("TPU v6", TpuDecodeSpec(name="TPU v6e", num_decode_lanes=48)),
+    ("TPU v5p", TpuDecodeSpec(name="TPU v5p", num_decode_lanes=64)),
+    ("TPU v5", TpuDecodeSpec(name="TPU v5e", num_decode_lanes=32)),
+    ("TPU v4", TpuDecodeSpec(name="TPU v4", num_decode_lanes=32)),
+    ("TPU v3", TpuDecodeSpec(name="TPU v3", num_decode_lanes=24)),
+    ("TPU v2", TpuDecodeSpec(name="TPU v2", num_decode_lanes=16)),
+)
+
+_CPU_SPEC = TpuDecodeSpec(name="cpu-interpret", num_decode_lanes=8)
+
+
+def spec_for_device(device) -> TpuDecodeSpec:
+    """Capability spec for a ``jax.Device`` — the GetCurrentVcnJpegSpec
+    lookup (vaapi_decoder.cpp:412-417) re-keyed on TPU generation."""
+    kind = getattr(device, "device_kind", "") or ""
+    for prefix, spec in _TPU_SPEC_TABLE:
+        if kind.startswith(prefix):
+            return spec
+    if getattr(device, "platform", "") == "cpu":
+        return _CPU_SPEC
+    return TpuDecodeSpec(name=kind or str(getattr(device, "platform", "tpu")))
