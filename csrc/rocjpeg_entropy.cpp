@@ -425,6 +425,69 @@ long rjt_pack_rows(const uint8_t* data, long n, uint8_t* out, long lane0,
   return seg < max_segs ? seg + 1 : seg;
 }
 
+// Dense variant of rjt_pack_rows: write up to max_segs segments into a
+// DENSE big-endian word stream — segment k's bytes start at word
+// word_off[k] (a precomputed exclusive prefix sum of ceil(len/4), so each
+// segment is word-aligned and the stream carries no per-lane padding).
+// The H2D payload this produces is the true entropy-coded size (~2x
+// smaller than the lane-padded tensor, whose word count is bucketed to the
+// LONGEST segment); the padded (R, n_words, 128) layout the wave kernel
+// wants is reconstructed on-device by a gather (ops/device_entropy.py
+// _expand_words). Returns segments written.
+long rjt_pack_dense(const uint8_t* data, long n, uint8_t* out,
+                    const int32_t* word_off, long max_segs) {
+  const uint8_t* s = data;
+  const uint8_t* end = data + n;
+  long seg = 0;
+  long i = 0;  // clean byte index within current segment
+  uint8_t* seg_base = out + (long)word_off[0] * 4;
+
+  auto emit = [&](uint8_t b) {
+    seg_base[(i & ~3L) + (3 - (i & 3))] = b;
+    ++i;
+  };
+  auto emit_run = [&](const uint8_t* p, long len) {
+    while (len > 0 && (i & 3)) { emit(*p++); --len; }
+    while (len >= 4) {
+      uint32_t w = ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+                   ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+      std::memcpy(seg_base + i, &w, 4);
+      p += 4;
+      i += 4;
+      len -= 4;
+    }
+    while (len > 0) { emit(*p++); --len; }
+  };
+  while (s < end && seg < max_segs) {
+    const uint8_t* ff =
+        (const uint8_t*)memchr(s, 0xFF, (size_t)(end - s));
+    if (!ff) {
+      emit_run(s, end - s);
+      break;
+    }
+    if (ff > s) emit_run(s, ff - s);
+    s = ff;
+    if (s + 1 < end) {
+      uint8_t nx = s[1];
+      if (nx == 0x00) {
+        emit(0xFF);
+        s += 2;
+        continue;
+      }
+      if (nx >= 0xD0 && nx <= 0xD7) {
+        ++seg;
+        if (seg < max_segs) seg_base = out + (long)word_off[seg] * 4;
+        i = 0;
+        s += 2;
+        continue;
+      }
+    }
+    emit(0xFF);
+    ++s;
+  }
+  return seg < max_segs ? seg + 1 : seg;
+}
+
 // ---------------------------------------------------------------------------
 // Native JPEG header parser — the C++ front-end mirroring the reference's
 // RocJpegStreamParser (src/rocjpeg_parser.cpp:43-470) and bit-for-bit

@@ -143,6 +143,26 @@ class PackedSegments:
     max_seg_bits: int      # real payload bits of the longest segment
 
 
+@dataclasses.dataclass
+class PackedDense:
+    """Dense-H2D variant of :class:`PackedSegments`: segments are shipped as
+    one word-aligned big-endian stream (the true entropy-coded payload, ~2x
+    smaller than the lane-padded tensor whose width is bucketed to the
+    longest segment) plus a per-lane starting word offset; the (R, n_words,
+    128) lane-major layout the wave kernel consumes is reconstructed
+    on-device by :func:`_expand_words` (a single gather — HBM traffic is
+    ~1000x cheaper than host->device bytes on this system)."""
+    dense: np.ndarray      # (W,) uint32, big-endian packed bytes
+    word_off: np.ndarray   # (n_lanes,) int32 — lane's first word in dense
+    img_base: np.ndarray   # (n_lanes,) int32 — img_idx * total_blocks
+    mcu_start: np.ndarray  # (n_lanes,) int32
+    mcu_count: np.ndarray  # (n_lanes,) int32
+    n_lanes: int
+    n_words: int
+    total_bytes: int
+    max_seg_bits: int
+
+
 def _segment_image(scan: bytes):
     """One vectorized pass over a scan: remove byte stuffing (0xFF00 -> 0xFF)
     and RSTn markers, returning (clean bytes, segment start offsets within
@@ -204,7 +224,8 @@ def _geometry_rows(params_list, total_blocks):
 def pack_segments(params_list: Sequence[JpegStreamParams],
                   total_blocks: int,
                   lanes_per_image: int = 0,
-                  local_batch: int = 0) -> PackedSegments:
+                  local_batch: int = 0,
+                  dense: bool = False) -> PackedSegments:
     """Split each image's scan at RSTn markers, unstuff, and pack all
     segments of the group into the TPU-layout word tensor (bits MSB-first
     within each big-endian word; lanes last). Uses the native C packer
@@ -271,6 +292,11 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
     n_words = _bucket(-(-n_words // 8) * 8, 8)  # whole 8-word slabs, pow2ish
     R = n_pad // 128
 
+    if dense:
+        return _pack_dense_phase2(params_list, geo, lane_starts, n_pad,
+                                  n_words, seg_len_rows, cleans, native,
+                                  local_batch, total_blocks, all_len, max_len)
+
     # ---- phase 2: write segment bytes into the transposed word tensor ----
     words = np.zeros((R, n_words, 128), np.uint32)
     if native is not None:
@@ -318,6 +344,99 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
         total_bytes=int(all_len.sum()),
         max_seg_bits=max_len * 8,
     )
+
+
+def _lane_geometry(geo, lane_starts, n_pad, local_batch, total_blocks):
+    img_base = np.zeros(n_pad, np.int32)
+    mcu_start = np.zeros(n_pad, np.int32)
+    mcu_count = np.zeros(n_pad, np.int32)
+    for i, ((needed, ri, total), l0) in enumerate(zip(geo, lane_starts)):
+        sl = slice(l0, l0 + needed)
+        local_i = i % local_batch if local_batch else i
+        img_base[sl] = local_i * total_blocks
+        ms = np.arange(needed, dtype=np.int32) * ri
+        mcu_start[sl] = ms
+        mcu_count[sl] = np.minimum(ri, total - ms)
+    return img_base, mcu_start, mcu_count
+
+
+def _pack_dense_phase2(params_list, geo, lane_starts, n_pad, n_words,
+                       seg_len_rows, cleans, native, local_batch,
+                       total_blocks, all_len, max_len) -> PackedDense:
+    """Phase 2 of the dense-H2D pack: per-lane word offsets (exclusive
+    prefix sum of ceil(len/4)) + one dense word stream, written by the
+    native packer (rjt_pack_dense) or the numpy fallback."""
+    # Per-lane word counts in GROUP lane order; padding lanes occupy zero
+    # words and point at the zeroed tail of the stream.
+    lane_words = np.zeros(n_pad, np.int64)
+    for lens, l0 in zip(seg_len_rows, lane_starts):
+        lane_words[l0:l0 + lens.size] = (lens.astype(np.int64) + 3) // 4
+    word_off = np.zeros(n_pad + 1, np.int64)
+    np.cumsum(lane_words, out=word_off[1:])
+    used_words = int(word_off[-1])
+    # Pad lanes (lane_words == 0) read from [their offset, +n_words); the
+    # +n_words zero tail keeps every lane's full window in range, and the
+    # total is bucketed so jit programs are reused across batches.
+    w_pad = _bucket(used_words + n_words, 1 << 16)
+    dense = np.zeros(w_pad, np.uint32)
+    word_off32 = word_off[:n_pad].astype(np.int32)
+
+    if native is not None and getattr(native, "DENSE_PACK_AVAILABLE", False):
+        jobs = []
+        for p, (needed, ri, total), l0 in zip(params_list, geo, lane_starts):
+            jobs.append((p.slice_data, word_off32[l0:l0 + needed], needed))
+        if len(jobs) > 1:
+            list(_pack_pool().map(
+                lambda j: native.pack_dense(j[0], dense, j[1], j[2]), jobs))
+        else:
+            for data, offs, needed in jobs:
+                native.pack_dense(data, dense, offs, needed)
+    else:
+        u8 = dense.view(np.uint8)
+        if cleans is None:  # native seg_lens ran but dense packer missing
+            cleans = []
+            for p in params_list:
+                clean, bounds = _segment_image(p.slice_data)
+                seg_starts = np.concatenate([[0], bounds])
+                cleans.append((clean, seg_starts))
+        for (clean, seg_starts), lens, l0 in zip(cleans, seg_len_rows,
+                                                 lane_starts):
+            nseg = lens.size
+            used = int(seg_starts[nseg - 1] + lens[-1]) if nseg else 0
+            lens64 = lens.astype(np.int64)
+            base = np.repeat(word_off[l0:l0 + nseg] * 4, lens64)
+            within = np.arange(used, dtype=np.int64) - np.repeat(
+                seg_starts[:nseg].astype(np.int64), lens64)
+            u8[base + (within & ~np.int64(3)) + (3 - (within & 3))] = clean[:used]
+
+    img_base, mcu_start, mcu_count = _lane_geometry(
+        geo, lane_starts, n_pad, local_batch, total_blocks)
+    return PackedDense(
+        dense=dense,
+        word_off=word_off32,
+        img_base=img_base,
+        mcu_start=mcu_start,
+        mcu_count=mcu_count,
+        n_lanes=n_pad,
+        n_words=n_words,
+        total_bytes=int(all_len.sum()),
+        max_seg_bits=max_len * 8,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _expand_words(R: int, n_words: int):
+    """Jitted on-device reconstruction of the lane-major (R, n_words, 128)
+    word tensor from the dense stream: one gather, ~n_words*128*R*4 bytes of
+    HBM writes (trivial next to the H2D bytes it saves)."""
+
+    @jax.jit
+    def expand(dense, word_off):
+        idx = (word_off.reshape(R, 1, 128)
+               + jnp.arange(n_words, dtype=jnp.int32).reshape(1, n_words, 1))
+        return jnp.take(dense, idx, axis=0, mode="clip")
+
+    return expand
 
 
 # ---------------------------------------------------------------------------
@@ -724,18 +843,27 @@ def decode_coefficients_on_device(params_list: Sequence[JpegStreamParams],
     def lanes2(a):
         return a.reshape(R, 128)
 
+    if isinstance(packed, PackedDense):
+        # Dense H2D: ship the true payload, rebuild the lane-major tensor
+        # on-device (gathers read HBM; the padded layout never crosses the
+        # host->device link).
+        words = _expand_words(R, packed.n_words)(
+            packed.dense, lanes2(packed.word_off))
+    else:
+        words = packed.words
+
     if wave_backend() == "pallas":
         from ..kernels import wave_pallas
         fn = wave_pallas.build_wave_kernel(geom, L, packed.n_words, max_steps)
         idx_buf, val_buf, err2 = fn(
-            packed.words, lanes2(packed.img_base), lanes2(packed.mcu_start),
+            words, lanes2(packed.img_base), lanes2(packed.mcu_start),
             lanes2(packed.mcu_count), tables.lentab, tables.values)
         out_size = geom.batch * geom.total_blocks * 64
         coeffs = _scatter_epilogue(out_size)(idx_buf, val_buf)
         return coeffs, (err2 > 0).reshape(-1), geom
 
     fn = _compiled_wave_decoder(geom, L, packed.n_words, max_steps)
-    coeffs, err = fn(packed.words, lanes2(packed.img_base),
+    coeffs, err = fn(words, lanes2(packed.img_base),
                      lanes2(packed.mcu_start), lanes2(packed.mcu_count),
                      tables.lentab, tables.values)
     return coeffs, err, geom

@@ -177,7 +177,7 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     batch = bucket_batch(n)
     geom0 = de.GroupGeometry.from_params(p0, batch)
     tables = de.DeviceScanTables.from_params(p0)
-    packed = de.pack_segments(params_list, geom0.total_blocks)
+    packed = de.pack_segments(params_list, geom0.total_blocks, dense=True)
     coeffs_flat, err, geom = de.decode_coefficients_on_device(
         params_list, tables, packed, batch=batch)
     comps = de.unflatten_coefficients(coeffs_flat, geom, p0)

@@ -121,6 +121,11 @@ def _load():
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p,
                 ctypes.c_long, ctypes.c_long, ctypes.c_long]
             lib.rjt_pack_rows.restype = ctypes.c_long
+        if hasattr(lib, "rjt_pack_dense"):
+            lib.rjt_pack_dense.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_long]
+            lib.rjt_pack_dense.restype = ctypes.c_long
         return lib
     except OSError:
         return None
@@ -277,3 +282,17 @@ def pack_rows(scan: bytes, words: np.ndarray, lane0: int, n_words: int,
     return int(_lib.rjt_pack_rows(scan, len(scan),
                                   ctypes.c_void_p(words.ctypes.data),
                                   lane0, n_words, max_segs))
+
+
+def pack_dense(scan: bytes, dense: np.ndarray, word_off: np.ndarray,
+               max_segs: int) -> int:
+    """Write a scan's unstuffed segments word-aligned into the dense uint32
+    stream at precomputed per-segment word offsets (GIL released). ``dense``
+    must be zero-initialized (partial tail words rely on it)."""
+    return int(_lib.rjt_pack_dense(
+        scan, len(scan), ctypes.c_void_p(dense.ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(word_off, np.int32).ctypes.data),
+        max_segs))
+
+
+DENSE_PACK_AVAILABLE = AVAILABLE and hasattr(_lib, "rjt_pack_dense")
