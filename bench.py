@@ -44,20 +44,21 @@ def build_corpus(n_images, w, h, seed=0, ri_mcus=None):
 def main():
     # Headline config: batches of 4K (3840x2160) images — the resolution of
     # the reference's bundled corpus (data/images/mug_*.jpg).
-    n_images = int(os.environ.get("BENCH_BATCH", "8"))
+    n_images = int(os.environ.get("BENCH_BATCH", "16"))
     w = int(os.environ.get("BENCH_W", "3840"))
     h = int(os.environ.get("BENCH_H", "2160"))
-    iters = int(os.environ.get("BENCH_ITERS", "12"))
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
     fmt_name = os.environ.get("BENCH_FMT", "native")
     ri_mcus = int(os.environ.get("BENCH_RI_MCUS", "4"))
     entropy_mode = os.environ.get("BENCH_ENTROPY", "auto")
     # Host threads submitting batches concurrently (the jpegDecodePerf
-    # model, samples/jpegDecodePerf/jpegdecodeperf.cpp:228-258). Default 1:
-    # the depth-2 async pipeline below already overlaps host work with
-    # device compute, and total in-flight device programs must stay small
-    # (>= ~3 concurrent wave-kernel instances can stall the runtime's
-    # scheduler on this platform).
-    n_threads = int(os.environ.get("BENCH_THREADS", "1"))
+    # model, samples/jpegDecodePerf/jpegdecodeperf.cpp:228-258). Default 2:
+    # the second thread overlaps one batch's host pack with the other's
+    # H2D + dispatch; the Decoder's shared in-flight throttle (max 2) keeps
+    # the device queue shallow (>= ~3 concurrent wave-kernel instances can
+    # stall the runtime's scheduler on this platform — measured: threads=2
+    # beats both 1 and 3).
+    n_threads = int(os.environ.get("BENCH_THREADS", "2"))
 
     # Persistent XLA compile cache: the wave decoder is a large program
     # (~2-3 min cold compile on the tunneled chip); warm runs start instantly.

@@ -153,12 +153,42 @@ def stack_group_inputs(params_list, coeff_planes_list, pad_to: int):
     return y, z, z, qy, zq, zq
 
 
+@functools.lru_cache(maxsize=128)
+def _transform_from_flat(geom, css: ChromaSubsampling, width: int,
+                         height: int, output_format: OutputFormat, crop_key):
+    """Jitted transform program taking the wave decoder's FLAT coefficient
+    tensor directly: the per-component unflatten (reshape + slice per
+    component, ~8 separate device dispatches when done eagerly — each a
+    host round trip on this remote-attached runtime) happens inside the
+    program. The wave/scatter stages stay separate programs on purpose:
+    fusing the Pallas custom call, the bulk scatter, and this transform into
+    one XLA module measured ~60x slower (the scatter loses its fast-path
+    lowering when fused with other consumers)."""
+    from .ops import device_entropy as de
+
+    chroma_present = len(geom.comp_base) >= 3
+    decode_fn = build_decode_fn(css, width, height, chroma_present,
+                                output_format, crop_key)
+
+    def f(coeffs_flat, qy, qu, qv):
+        comps = de.unflatten_coefficients(coeffs_flat, geom, None)
+        y = comps[0]
+        if len(comps) >= 3:
+            u, v = comps[1], comps[2]
+        else:
+            u = v = jnp.zeros((geom.batch, 1, 1, 64), jnp.int16)
+        return decode_fn(y, u, v, qy, qu, qv)
+
+    return jax.jit(f)
+
+
 def decode_group_device_entropy(params_list, output_format: OutputFormat,
                                 crop: Optional[CropRectangle] = None):
     """Fully on-device decode of one same-shape group: the compressed
-    bitstream (not coefficient planes) crosses the host->device link, the
-    wave entropy decoder (ops/device_entropy.py) expands it on-chip, and the
-    fused dequant/IDCT/layout program consumes the coefficients in place.
+    bitstream (not coefficient planes) crosses the host->device link as a
+    dense word stream, the wave entropy decoder expands it on-chip, and the
+    fused dequant/IDCT/layout epilogue consumes the coefficients in place —
+    all in ONE device program (see :func:`_fused_wave_program`).
 
     No host<->device syncs happen here: the per-group error flags are
     returned as a device array alongside the per-image channels, and the
@@ -175,12 +205,12 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     # so pad to power-of-two buckets (pad images contribute zero lanes; their
     # coefficient slots decode to zero and are sliced away below).
     batch = bucket_batch(n)
-    geom0 = de.GroupGeometry.from_params(p0, batch)
     tables = de.DeviceScanTables.from_params(p0)
-    packed = de.pack_segments(params_list, geom0.total_blocks, dense=True)
+    packed = de.pack_segments(params_list,
+                              de.GroupGeometry.from_params(p0, batch)
+                              .total_blocks, dense=True)
     coeffs_flat, err, geom = de.decode_coefficients_on_device(
         params_list, tables, packed, batch=batch)
-    comps = de.unflatten_coefficients(coeffs_flat, geom, p0)
 
     qy_rows, qu_rows, qv_rows = [], [], []
     for p in params_list:
@@ -196,16 +226,10 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     qu = np.stack(qu_rows)
     qv = np.stack(qv_rows)
 
-    y = comps[0]
-    u = comps[1] if len(comps) >= 3 else jnp.zeros((batch, 1, 1, 64), jnp.int16)
-    v = comps[2] if len(comps) >= 3 else jnp.zeros((batch, 1, 1, 64), jnp.int16)
-    luma_blocks = tuple(y.shape[1:3])
-    chroma_blocks = tuple(u.shape[1:3]) if len(comps) >= 3 else None
     crop_key = (crop.left, crop.top, crop.right, crop.bottom) if crop else None
-    fn = compiled_decode(css, p0.picture_width, p0.picture_height,
-                         luma_blocks, chroma_blocks,
-                         OutputFormat(output_format), crop_key)
-    outs = fn(y, u, v, qy, qu, qv)
+    fn = _transform_from_flat(geom, css, p0.picture_width, p0.picture_height,
+                              OutputFormat(output_format), crop_key)
+    outs = fn(coeffs_flat, qy, qu, qv)
     pitches = output_pitches(css, p0.picture_width, p0.picture_height,
                              output_format, crop)
     per_image = []
