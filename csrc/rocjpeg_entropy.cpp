@@ -514,10 +514,13 @@ struct RjtParsedHeader {
 namespace {
 
 // ChromaSubsampling enum values (rocjpeg_tpu/types.py, mirroring
-// api/rocjpeg.h:86-94 ordering).
+// api/rocjpeg.h:86-94 ordering). kCssUnknown MUST be -1 — it is the wire
+// value ChromaSubsampling(...) constructs on the Python side, and UNKNOWN
+// is a parse *result*, not a parse error (parser.cpp:432-470 classifies and
+// lets the decoder reject later).
 enum {
   kCss444 = 0, kCss440 = 1, kCss422 = 2, kCss420 = 3,
-  kCss411 = 4, kCss400 = 5, kCssUnknown = 6,
+  kCss411 = 4, kCss400 = 5, kCssUnknown = -1,
 };
 
 int classify_css(int c1h, int c2h, int c3h, int c1v, int c2v, int c3v) {

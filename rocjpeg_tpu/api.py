@@ -106,7 +106,11 @@ class Decoder:
                                f"bad device_entropy mode {device_entropy!r}")
         self._device_entropy = device_entropy
         self._check_errors = check_errors
-        self.last_error_flags: list = []
+        # Per-thread error-flag capture: the docstring invites concurrent
+        # decode calls, so the flags must not be shared state (reference
+        # captures errors per *handle*, api_decoder_handle.h:77 — here one
+        # handle serves many threads, so capture per handle × thread).
+        self._tls = threading.local()
         self._lock = threading.Lock()
         # Self-throttling async pipeline: decode_batched returns without
         # waiting for the device, but keeps at most ``max_inflight`` wave
@@ -119,6 +123,16 @@ class Decoder:
     def spec(self) -> TpuDecodeSpec:
         """GetCurrentVcnJpegSpec analog (vaapi_decoder.h:337)."""
         return self._spec
+
+    @property
+    def last_error_flags(self) -> list:
+        """Device error flags from the calling thread's most recent
+        decode_batched call (empty if that call used the host path)."""
+        return getattr(self._tls, "error_flags", [])
+
+    @last_error_flags.setter
+    def last_error_flags(self, flags: list) -> None:
+        self._tls.error_flags = flags
 
     # ------------------------------------------------------------------
     def get_image_info(self, stream: JpegStream) -> ImageInfo:

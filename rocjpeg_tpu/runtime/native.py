@@ -262,7 +262,12 @@ def parse_header(data: bytes):
     p.num_mcus = int(hdr.num_mcus)
     p.slice_data = data[hdr.scan_offset:hdr.scan_end]
     from ..types import ChromaSubsampling
-    p.chroma_subsampling = ChromaSubsampling(hdr.subsampling)
+    try:
+        p.chroma_subsampling = ChromaSubsampling(hdr.subsampling)
+    except ValueError:
+        # Unclassifiable sampling patterns parse to UNKNOWN (a value, not an
+        # error — reference parser.cpp:432-470 rejects at decode time).
+        p.chroma_subsampling = ChromaSubsampling.CSS_UNKNOWN
     return p
 
 

@@ -73,27 +73,39 @@ def main(argv=None) -> int:
         return 1
     nthreads = max(1, min(args.threads, 32))  # cap like samples_utils.h:153
 
+    # One decoder handle per thread — the reference's model
+    # (jpegdecodeperf.cpp:228-241): a handle's in-flight throttle is
+    # per-handle state, so sharing one across threads serializes the
+    # pipeline at its depth-2 queue.
     if args.mesh:
         from ..dist import sharding
-        decoder = sharding.MeshDecoder()
+        decoders = [sharding.MeshDecoder() for _ in range(nthreads)]
     else:
-        decoder = api.Decoder(backend=Backend(args.backend),
-                              device_id=args.device)
+        decoders = [api.Decoder(backend=Backend(args.backend),
+                                device_id=args.device)
+                    for _ in range(nthreads)]
     stats = common.Stats()
     lock = threading.Lock()
 
     # Partition files across threads (jpegdecodeperf.cpp:245-252).
     shards = [paths[i::nthreads] for i in range(nthreads)]
 
+    # Warm up EVERY shard so each thread's shapes are jit-compiled before
+    # the timed region (compiles are global across decoders, but each
+    # shard may contain shapes the others don't).
     for _ in range(args.warmup):
-        _decode_worker(decoder, shards[0][:args.batch_size], params,
-                       args.batch_size, common.Stats(), lock)
+        with concurrent.futures.ThreadPoolExecutor(nthreads) as pool:
+            futs = [pool.submit(_decode_worker, dec, shard[:args.batch_size],
+                                params, args.batch_size, common.Stats(), lock)
+                    for dec, shard in zip(decoders, shards) if shard]
+            for f in futs:
+                f.result()
 
     t0 = time.perf_counter()
     with concurrent.futures.ThreadPoolExecutor(nthreads) as pool:
-        futs = [pool.submit(_decode_worker, decoder, shard, params,
+        futs = [pool.submit(_decode_worker, dec, shard, params,
                             args.batch_size, stats, lock)
-                for shard in shards if shard]
+                for dec, shard in zip(decoders, shards) if shard]
         for f in futs:
             f.result()
     t1 = time.perf_counter()

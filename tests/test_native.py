@@ -138,3 +138,77 @@ def test_native_parser_matches_python():
 def dataclasses_equal(a, b):
     import dataclasses
     return dataclasses.asdict(a) == dataclasses.asdict(b)
+
+
+def _patch_sof_sampling(data: bytes, comp: int, samp: int) -> bytes:
+    """Return a copy of ``data`` with SOF0 component ``comp``'s sampling
+    byte (h<<4|v) replaced by ``samp``."""
+    # Walk marker segments from SOI so we find the real SOF0, not a stray
+    # 0xFFC0 byte pair inside another segment.
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        assert data[i] == 0xFF
+        marker = data[i + 1]
+        if marker == 0xC0:
+            break
+        i += 2 + int.from_bytes(data[i + 2:i + 4], "big")
+    else:
+        raise AssertionError("no SOF0")
+    # marker(2) len(2) precision(1) height(2) width(2) ncomp(1) then
+    # 3 bytes per component: id, sampling, quant_sel.
+    off = i + 10 + 3 * comp + 1
+    return data[:off] + bytes([samp]) + data[off + 1:]
+
+
+def test_unknown_subsampling_parses_not_crashes(corpus):
+    """Regression: unclassifiable sampling patterns must parse to
+    CSS_UNKNOWN in BOTH parsers — never raise (reference parser.cpp:432-470
+    treats UNKNOWN as a value; rejection happens at decode,
+    vaapi_decoder.cpp:634-637)."""
+    from rocjpeg_tpu import api
+    from rocjpeg_tpu.types import ChromaSubsampling
+
+    if not getattr(native, "PARSE_AVAILABLE", False):
+        pytest.skip("native parser not built")
+
+    data = _patch_sof_sampling(corpus["mug_420"], 0, 0x31)  # h=3, v=1
+    p_nat = native.parse_header(data)
+    assert p_nat.chroma_subsampling == ChromaSubsampling.CSS_UNKNOWN
+    # Full API path: stream parses, decode rejects with a status error.
+    s = api.JpegStream(data)
+    assert s.params.chroma_subsampling == ChromaSubsampling.CSS_UNKNOWN
+
+
+def test_sof_sampling_fuzz_differential(corpus):
+    """Sweep every plausible SOF sampling byte for each component and
+    assert the native and Python parsers agree on outcome: identical
+    subsampling classification, or identical error-vs-success."""
+    from rocjpeg_tpu.core import bitstream as bs
+
+    if not getattr(native, "PARSE_AVAILABLE", False):
+        pytest.skip("native parser not built")
+
+    def py_parse(data):
+        orig = bs._NATIVE_PARSER
+        bs._NATIVE_PARSER = (None,)
+        try:
+            return bs.JpegStreamParser().parse(data)
+        finally:
+            bs._NATIVE_PARSER = orig
+
+    base = corpus["mug_420"]
+    for comp in range(3):
+        for h in range(0, 6):
+            for v in range(0, 6):
+                data = _patch_sof_sampling(base, comp, (h << 4) | v)
+                try:
+                    a = py_parse(data)
+                    py_out = ("ok", a.chroma_subsampling, a.num_mcus)
+                except RocJpegError as e:
+                    py_out = ("err", str(e))
+                try:
+                    b = native.parse_header(data)
+                    nat_out = ("ok", b.chroma_subsampling, b.num_mcus)
+                except RocJpegError as e:
+                    nat_out = ("err", str(e))
+                assert py_out == nat_out, (comp, h, v, py_out, nat_out)

@@ -3,7 +3,6 @@ import os
 import sys
 import time
 
-import numpy as np
 import jax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -71,6 +71,13 @@ vv_d = jax.device_put(tables.values, dev)
 max_steps = de.max_steps_bound(geom, packed)
 print(f"max_steps={max_steps}")
 expand = de._expand_words(R, packed.n_words)
+# Stage-level timing builds the production Pallas kernel directly — only
+# meaningful where the library itself would pick it.
+if de.wave_backend() != "pallas":
+    raise SystemExit("profile_bench: requires a TPU backend "
+                     f"(wave_backend()={de.wave_backend()!r}); the stage "
+                     "breakdown times the Pallas kernel the library runs "
+                     "on TPU, not the jnp fallback")
 from rocjpeg_tpu.kernels import wave_pallas
 wave = wave_pallas.build_wave_kernel(geom, L, packed.n_words, max_steps)
 out_size = geom.batch * geom.total_blocks * 64
@@ -78,6 +85,8 @@ scatter = de._scatter_epilogue(out_size)
 
 
 def timeit(name, fn, n=8):
+    # Blocks only on the final iteration: numbers are steady-state
+    # *pipelined* dispatch averages per batch, not single-call latency.
     r = fn()
     jax.tree_util.tree_map(
         lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, r)
