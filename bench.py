@@ -1,12 +1,21 @@
 """Benchmark: batched 4:2:0 JPEG decode throughput on one chip.
 
-Measures the end-to-end decode path (host entropy front-end + H2D +
-device dequant/IDCT/layout) over a synthesized photo-like 4:2:0 corpus
-with per-MCU-row restart intervals, the headline configuration from
-BASELINE.json ("jpegDecodeBatched: batch-sharded on one host";
-target >= 2 Gpixel/s per chip, vs_baseline = value / 2000 Mpix/s).
+Measures the end-to-end decode path over three corpora:
 
-Prints ONE JSON line on stdout; diagnostics go to stderr.
+1. HEADLINE — synthesized photo-like 4K 4:2:0 with per-4-MCU restart
+   intervals (BASELINE.json "jpegDecodeBatched: batch-sharded on one host";
+   target >= 2 Gpixel/s per chip, vs_baseline = value / 2000 Mpix/s).
+2. DRI=0 — the same corpus with NO restart markers, the realistic workload
+   (the reference's own data/images carry none). Rides the wave via
+   virtual restart points (host index pass, ops/device_entropy.py
+   pack_virtual_segments); the index walk runs every iteration — nothing
+   is cached across decodes beyond the parsed header, matching the
+   reference's jpegdecodeperf lifecycle (jpegdecodeperf.cpp:75-182).
+3. MUG — the reference's actual 4K test image (data/images/mug_420.jpg,
+   DRI=0), batched x8.
+
+Prints ONE JSON line on stdout (headline metric + dri0/mug extra fields);
+diagnostics go to stderr.
 """
 
 import json
@@ -41,51 +50,14 @@ def build_corpus(n_images, w, h, seed=0, ri_mcus=None):
     return datas
 
 
-def main():
-    # Headline config: batches of 4K (3840x2160) images — the resolution of
-    # the reference's bundled corpus (data/images/mug_*.jpg).
-    n_images = int(os.environ.get("BENCH_BATCH", "16"))
-    w = int(os.environ.get("BENCH_W", "3840"))
-    h = int(os.environ.get("BENCH_H", "2160"))
-    iters = int(os.environ.get("BENCH_ITERS", "16"))
-    fmt_name = os.environ.get("BENCH_FMT", "native")
-    ri_mcus = int(os.environ.get("BENCH_RI_MCUS", "4"))
-    entropy_mode = os.environ.get("BENCH_ENTROPY", "auto")
-    # Host threads submitting batches concurrently (the jpegDecodePerf
-    # model, samples/jpegDecodePerf/jpegdecodeperf.cpp:228-258). Default 2:
-    # the second thread overlaps one batch's host pack with the other's
-    # H2D + dispatch; the Decoder's shared in-flight throttle (max 2) keeps
-    # the device queue shallow (>= ~3 concurrent wave-kernel instances can
-    # stall the runtime's scheduler on this platform — measured: threads=2
-    # beats both 1 and 3).
-    n_threads = int(os.environ.get("BENCH_THREADS", "2"))
-
-    # Persistent XLA compile cache: the wave decoder is a large program
-    # (~2-3 min cold compile on the tunneled chip); warm runs start instantly.
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/rjt_xla_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
-    t0 = time.time()
-    datas = build_corpus(n_images, w, h, ri_mcus=ri_mcus)
-    print(f"corpus: {n_images} x {w}x{h} 4:2:0, "
-          f"avg {sum(map(len, datas))/n_images/1024:.0f} KiB, "
-          f"built in {time.time()-t0:.1f}s", file=sys.stderr)
-
+def run_config(name, decoder, datas, params, iters, n_threads, w, h):
+    """Measure one corpus: returns Mpix/s. Streams are parsed once (cheap
+    header parse, the reference's handle model); all entropy/index work
+    runs per decode call."""
     from rocjpeg_tpu import api
-    from rocjpeg_tpu.runtime import host_decode
-    from rocjpeg_tpu.tools.common import FMT_NAMES
-    from rocjpeg_tpu.types import DecodeParams
 
-    params = DecodeParams(output_format=FMT_NAMES[fmt_name])
-    # check_errors=False: no host<->device sync inside the decode loop; the
-    # error flags stay on device and are verified once after timing.
-    decoder = api.Decoder(device_entropy=entropy_mode, check_errors=False)
+    n_images = len(datas)
     streams = [api.JpegStream(d) for d in datas]
-    print(f"host entropy backend: {host_decode.backend_name()}; "
-          f"device_entropy={entropy_mode}; ri={ri_mcus} MCUs", file=sys.stderr)
 
     # Warmup (jit compile + caches).
     imgs = decoder.decode_batched(streams, params)
@@ -93,9 +65,8 @@ def main():
         for ch in img.channel:
             if ch is not None and hasattr(ch, "block_until_ready"):
                 ch.block_until_ready()
-    print("warmup done", file=sys.stderr)
+    print(f"[{name}] warmup done", file=sys.stderr)
 
-    mpix_per_batch = n_images * w * h / 1e6
     lasts = [None] * max(1, n_threads)
 
     def worker(tid, count):
@@ -137,15 +108,121 @@ def main():
         assert not bool(np.asarray(e).any()), "decode error flagged in bench"
 
     elapsed = t1 - t0
-    mpix_s = iters * mpix_per_batch / elapsed
-    images_s = iters * n_images / elapsed
-    print(f"{iters} iters x {n_images} images in {elapsed:.2f}s "
-          f"({images_s:.1f} img/s)", file=sys.stderr)
+    mpix_s = iters * n_images * w * h / 1e6 / elapsed
+    print(f"[{name}] {iters} iters x {n_images} images in {elapsed:.2f}s "
+          f"({iters * n_images / elapsed:.1f} img/s, {mpix_s:.1f} Mpix/s)",
+          file=sys.stderr)
+    return mpix_s
+
+
+def run_leg_subprocess(leg: str) -> float:
+    """Run one bench leg in a fresh Python process and return its Mpix/s.
+
+    Each leg gets its own process because the tunneled TPU runtime on this
+    system degrades ~20x for every jitted-program working set started after
+    the first measurement loop in a process (reproduced with identical
+    configs back-to-back; not an allocator-size or fragmentation effect).
+    Fresh processes measure honestly — the persistent XLA cache keeps
+    startup cheap."""
+    import subprocess
+    env = dict(os.environ)
+    env["BENCH_LEG"] = leg
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True)
+    sys.stderr.write(out.stderr)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return float(json.loads(line)["value"])
+    raise RuntimeError(f"bench leg {leg} produced no result "
+                       f"(exit {out.returncode})")
+
+
+def main():
+    # Headline config: batches of 4K (3840x2160) images — the resolution of
+    # the reference's bundled corpus (data/images/mug_*.jpg).
+    n_images = int(os.environ.get("BENCH_BATCH", "16"))
+    w = int(os.environ.get("BENCH_W", "3840"))
+    h = int(os.environ.get("BENCH_H", "2160"))
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    fmt_name = os.environ.get("BENCH_FMT", "native")
+    ri_mcus = int(os.environ.get("BENCH_RI_MCUS", "4"))
+    entropy_mode = os.environ.get("BENCH_ENTROPY", "auto")
+    # Host threads submitting batches concurrently (the jpegDecodePerf
+    # model, samples/jpegDecodePerf/jpegdecodeperf.cpp:228-258). Default 2:
+    # the second thread overlaps one batch's host pack with the other's
+    # H2D + dispatch; the Decoder's shared in-flight throttle (max 2) keeps
+    # the device queue shallow (>= ~3 concurrent wave-kernel instances can
+    # stall the runtime's scheduler on this platform — measured: threads=2
+    # beats both 1 and 3).
+    n_threads = int(os.environ.get("BENCH_THREADS", "2"))
+    # Extra legs (dri0 / mug) can be skipped for quick iteration.
+    run_extras = os.environ.get("BENCH_EXTRAS", "1") != "0"
+
+    leg = os.environ.get("BENCH_LEG")
+
+    if leg is None and run_extras:
+        # Orchestrator: one subprocess per leg (see run_leg_subprocess).
+        headline = run_leg_subprocess("headline")
+        result = {
+            "metric": "Mpixels/sec/chip batched 4:2:0 decode",
+            "value": round(headline, 1),
+            "unit": "Mpixel/s",
+            "vs_baseline": round(headline / 2000.0, 4),
+        }
+        dri0 = run_leg_subprocess("dri0")
+        result["dri0_mpix_s"] = round(dri0, 1)
+        result["dri0_vs_target"] = round(dri0 / 2000.0, 4)
+        if os.path.exists("/root/reference/data/images/mug_420.jpg"):
+            mug = run_leg_subprocess("mug")
+            result["mug420_mpix_s"] = round(mug, 1)
+        print(json.dumps(result))
+        return
+
+    leg = leg or "headline"
+
+    # Persistent XLA compile cache: the wave decoder is a large program
+    # (~2-3 min cold compile on the tunneled chip); warm runs start instantly.
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/rjt_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    t0 = time.time()
+    if leg == "headline":
+        datas = build_corpus(n_images, w, h, ri_mcus=ri_mcus)
+    elif leg == "dri0":
+        datas = build_corpus(n_images, w, h, seed=1, ri_mcus=0)
+    elif leg == "mug":
+        mug = open("/root/reference/data/images/mug_420.jpg", "rb").read()
+        datas = [mug] * 8
+        iters = max(4, iters // 2)
+        w, h = 3840, 2160
+    else:
+        raise SystemExit(f"unknown BENCH_LEG {leg!r}")
+    print(f"[{leg}] corpus: {len(datas)} x {w}x{h} 4:2:0, "
+          f"avg {sum(map(len, datas))/len(datas)/1024:.0f} KiB, "
+          f"built in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    from rocjpeg_tpu import api
+    from rocjpeg_tpu.runtime import host_decode
+    from rocjpeg_tpu.tools.common import FMT_NAMES
+    from rocjpeg_tpu.types import DecodeParams
+
+    params = DecodeParams(output_format=FMT_NAMES[fmt_name])
+    # check_errors=False: no host<->device sync inside the decode loop; the
+    # error flags stay on device and are verified once after timing.
+    decoder = api.Decoder(device_entropy=entropy_mode, check_errors=False)
+    print(f"host entropy backend: {host_decode.backend_name()}; "
+          f"device_entropy={entropy_mode}", file=sys.stderr)
+
+    value = run_config(leg, decoder, datas, params, iters, n_threads, w, h)
     print(json.dumps({
-        "metric": "Mpixels/sec/chip batched 4:2:0 decode",
-        "value": round(mpix_s, 1),
+        "metric": f"Mpixels/sec/chip batched 4:2:0 decode ({leg})",
+        "value": round(value, 1),
         "unit": "Mpixel/s",
-        "vs_baseline": round(mpix_s / 2000.0, 4),
+        "vs_baseline": round(value / 2000.0, 4),
     }))
 
 

@@ -489,6 +489,469 @@ long rjt_pack_dense(const uint8_t* data, long n, uint8_t* out,
 }
 
 // ---------------------------------------------------------------------------
+// Index scan: virtual restart points for DRI=0 streams.
+//
+// The reference's realistic corpora (data/images/mug_*.jpg) carry NO restart
+// markers, so the scan is one entropy segment and the wave kernel has no
+// lane parallelism to exploit. This pass manufactures it: a light LUT walk
+// over the Huffman symbol stream (no coefficient output — only DC predictor
+// tracking and bit-position bookkeeping) records the exact bit offset and
+// DC predictor values at every `record_every`-th MCU boundary. Those records
+// are "virtual RSTn markers": the TPU wave decodes the segments between them
+// in parallel, and a cheap on-device fixup adds the recorded DC predictor to
+// each lane's DC coefficients (DC is cumulative, so a lane decoded with
+// predictor 0 is off by exactly its entry predictor).
+//
+// This walk is the only part of a DRI=0 decode that is inherently
+// sequential; everything downstream rides the same wave path as
+// restart-marked streams.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Fused decode LUT for the index walk, two-level. The flat 64K-entry
+// sym/len pair (DecodeLut) puts an L2-latency load on the symbol-to-symbol
+// dependency chain (the 16-bit window is content-random, so accesses spray
+// across 128 KiB). Level 1 is 4096 x uint16 = 8 KiB — L1-resident — and
+// resolves every code of length <= 12 (virtually all symbols in practice);
+// the full 16-bit table only backs the rare long codes.
+//
+// The entry directly encodes everything the branchless walker needs:
+//   bits 0..4   total bits to consume (code length + magnitude bits)
+//   bits 5..11  k advance: DC = 1; AC = run+1, ZRL = 16, EOB = 64
+//   bits 12..15 magnitude size (DC only — the walker tracks DC predictors)
+// 0 = invalid code / resolve via level 2.
+struct FusedIdxLut {
+  std::vector<uint16_t> t12;
+  std::vector<uint16_t> t16;
+
+  int build(const uint8_t* bits, const uint8_t* values, bool is_dc) {
+    t12.assign(1u << 12, 0);
+    t16.assign(1u << 16, 0);
+    uint32_t code = 0;
+    int k = 0;
+    for (int length = 1; length <= 16; ++length) {
+      for (int i = 0; i < bits[length - 1]; ++i) {
+        if (code >= (1u << length)) return -1;  // overlong code
+        int rs = values[k];
+        int run = rs >> 4, size = rs & 15;
+        uint16_t ent;
+        if (is_dc) {
+          if (size > 11) return -1;  // DC magnitude cap (T.81 F.1.2.1.1)
+          ent = (uint16_t)((length + size) | (1u << 5) | (size << 12));
+        } else {
+          if (size > 10) return -1;  // AC magnitude cap (T.81 F.1.2.2.1)
+          int k_adv = size ? run + 1 : (run == 15 ? 16 : 64);
+          ent = (uint16_t)((length + size) | (k_adv << 5));
+        }
+        uint32_t lo16 = code << (16 - length);
+        uint32_t hi16 = lo16 + (1u << (16 - length));
+        for (uint32_t w = lo16; w < hi16; ++w) t16[w] = ent;
+        if (length <= 12) {
+          uint32_t lo12 = code << (12 - length);
+          uint32_t hi12 = lo12 + (1u << (12 - length));
+          for (uint32_t w = lo12; w < hi12; ++w) t12[w] = ent;
+        }
+        ++code;
+        ++k;
+      }
+      code <<= 1;
+    }
+    return 0;
+  }
+};
+
+// Unstuff a scan into `clean` (size >= scan_len). Returns the clean length,
+// or -1 if a non-stuffing marker (e.g. a real RSTn) is embedded — the index
+// pass only serves DRI=0 scans, where segment structure must not appear.
+long unstuff_scan(const uint8_t* data, long n, uint8_t* clean) {
+  const uint8_t* s = data;
+  const uint8_t* end = data + n;
+  long out = 0;
+  while (s < end) {
+    const uint8_t* ff = (const uint8_t*)memchr(s, 0xFF, (size_t)(end - s));
+    if (!ff) {
+      std::memcpy(clean + out, s, end - s);
+      out += end - s;
+      break;
+    }
+    if (ff > s) {
+      std::memcpy(clean + out, s, ff - s);
+      out += ff - s;
+    }
+    s = ff;
+    if (s + 1 < end) {
+      uint8_t nx = s[1];
+      if (nx == 0x00) {
+        clean[out++] = 0xFF;
+        s += 2;
+        continue;
+      }
+      if (nx >= 0xD0 && nx <= 0xD7) return -1;  // restart marker: not ours
+    }
+    clean[out++] = 0xFF;  // lone/terminal 0xFF copied as data
+    ++s;
+  }
+  return out;
+}
+
+}  // namespace
+
+
+// One index-scan job. Geometry/tables mirror RjtScanJob; outputs are the
+// clean stream plus per-record (MCU index, bit offset, DC predictors).
+// Records are SYMBOL-BALANCED: one at MCU 0, then at the first MCU
+// boundary after every >= min_symbols decoded symbols. Balanced lanes keep
+// the wave kernel's VMEM tile and emission buffers bounded by the record
+// interval instead of by the densest fixed-MCU window (a real photo's
+// dense regions can be ~16x the average), and equalize per-lane work.
+struct RjtIndexJob {
+  const uint8_t* scan;
+  long scan_len;
+  int num_components;
+  int interleaved;
+  int total_mcus;
+  int min_symbols;
+  int h_samp[kMaxComponents];
+  int v_samp[kMaxComponents];
+  int dc_table[kMaxComponents];
+  int ac_table[kMaxComponents];
+  const uint8_t* dc_bits[kMaxTables];
+  const uint8_t* dc_values[kMaxTables];
+  const uint8_t* ac_bits[kMaxTables];
+  const uint8_t* ac_values[kMaxTables];
+  uint8_t* clean;     // out: caller-allocated, scan_len + 8 zero-slack bytes
+  int64_t* bit_off;   // out: capacity n_records
+  int32_t* dc_out;    // out: capacity n_records * 3 (component-major)
+  int32_t* mcu_idx;   // out: capacity n_records (record r starts this MCU)
+  int32_t* sym_count; // out: capacity n_records (symbols in lane r — EXACT,
+                      //      so the wave sizes its emission buffers tight)
+  long n_records;     // in: capacity of the record arrays
+  long n_found;       // out: records written
+};
+
+
+namespace {
+
+// Per-slot walk tables: [slot*2 + is_dc] raw LUT pointers (a struct
+// indirection would put a data-pointer load on the critical path).
+struct IdxTabs {
+  std::vector<const uint16_t*> p12;  // [slot*2 + is_dc]
+  std::vector<const uint16_t*> p16;
+  std::vector<int> comp_of;
+  int nslots = 0;
+};
+
+// Flattened walker state: ONE symbol loop, no per-block inner loop — block
+// and MCU transitions are conditional moves, so the only branches left are
+// the loop condition, the rare level-2 LUT fallback, and the per-MCU
+// bookkeeping. (The blocked formulation pays a pipeline flush at every
+// block's loop-exit mispredict, which also defeats dual-stream overlap.)
+struct IdxState {
+  const uint8_t* clean;
+  long n;            // clean length (buffer has >= 8 bytes of zero slack)
+  uint64_t acc = 0;  // top-justified bit window
+  int bits = 0;
+  long pos = 0;      // next byte to load
+  int m = 0;         // MCUs completed
+  int s = 0;         // slot within MCU
+  int k = 0;         // 0 = next symbol is DC
+  long syms = 0;     // symbols since the last record
+  long rec = 0;
+  int32_t dc_pred[kMaxComponents] = {0, 0, 0};
+
+  inline int64_t bit_offset() const { return (int64_t)pos * 8 - bits; }
+};
+
+// Build LUTs + per-slot tables for one job. `built` tracks which table
+// slots already hold compiled LUTs (pass the same arrays across jobs
+// sharing LUT storage — already-built slots are reused, never rebuilt).
+// LUT slot layout: [0..3] DC tables, [4..7] AC tables.
+int build_idx_tabs(const RjtIndexJob& job, FusedIdxLut* luts, bool* built,
+                   IdxTabs& tb) {
+  for (int c = 0; c < job.num_components; ++c) {
+    int dtid = job.dc_table[c], atid = job.ac_table[c];
+    if (dtid < 0 || dtid >= kMaxTables || atid < 0 || atid >= kMaxTables)
+      return -RJT_BAD_HUFFMAN_TABLE;
+    if (!built[dtid]) {
+      if (!job.dc_bits[dtid]) return -RJT_BAD_HUFFMAN_TABLE;
+      if (luts[dtid].build(job.dc_bits[dtid], job.dc_values[dtid], true))
+        return -RJT_BAD_HUFFMAN_TABLE;
+      built[dtid] = true;
+    }
+    if (!built[4 + atid]) {
+      if (!job.ac_bits[atid]) return -RJT_BAD_HUFFMAN_TABLE;
+      if (luts[4 + atid].build(job.ac_bits[atid], job.ac_values[atid],
+                               false))
+        return -RJT_BAD_HUFFMAN_TABLE;
+      built[4 + atid] = true;
+    }
+  }
+  auto add_slot = [&](int c) {
+    tb.p12.push_back(luts[4 + job.ac_table[c]].t12.data());  // is_dc = 0
+    tb.p12.push_back(luts[job.dc_table[c]].t12.data());      // is_dc = 1
+    tb.p16.push_back(luts[4 + job.ac_table[c]].t16.data());
+    tb.p16.push_back(luts[job.dc_table[c]].t16.data());
+    tb.comp_of.push_back(c);
+  };
+  if (job.interleaved) {
+    for (int c = 0; c < job.num_components; ++c) {
+      int nb = job.v_samp[c] * job.h_samp[c];
+      for (int b = 0; b < nb; ++b) add_slot(c);
+    }
+  } else {
+    add_slot(0);
+  }
+  tb.nslots = (int)tb.comp_of.size();
+  return 0;
+}
+
+inline int idx_record(IdxState& st, const RjtIndexJob& job) {
+  if (st.rec >= job.n_records) return -RJT_BAD_SEGMENTS;
+  if (st.rec > 0) job.sym_count[st.rec - 1] = (int32_t)st.syms;
+  job.bit_off[st.rec] = st.bit_offset();
+  job.mcu_idx[st.rec] = st.m;
+  job.dc_out[st.rec * 3 + 0] = st.dc_pred[0];
+  job.dc_out[st.rec * 3 + 1] = st.dc_pred[1];
+  job.dc_out[st.rec * 3 + 2] = st.dc_pred[2];
+  ++st.rec;
+  st.syms = 0;
+  return 0;
+}
+
+// One symbol, branchless. Returns -err, 0, or 1 (finished an MCU).
+inline int idx_step(IdxState& st, const uint16_t* const* p12,
+                    const uint16_t* const* p16, const int* comp_of,
+                    int nslots) {
+  // Branchless refill: the load runs every step (address depends only on
+  // the previous step, so it issues early); the OR is predicated by cmov.
+  uint32_t wl;
+  long rp = st.pos < st.n ? st.pos : st.n;  // clamp into the zero slack
+  std::memcpy(&wl, st.clean + rp, 4);
+  wl = __builtin_bswap32(wl);
+  bool need = st.bits <= 32;
+  uint64_t add = (uint64_t)wl << ((32 - st.bits) & 63);
+  st.acc |= need ? add : 0ull;
+  st.bits += (int)need << 5;
+  st.pos += (long)need << 2;
+
+  bool is_dc = (st.k == 0);
+  int tsel = st.s * 2 + (int)is_dc;
+  uint32_t w16 = (uint32_t)(st.acc >> 48);
+  uint32_t ent = p12[tsel][w16 >> 4];
+  if (__builtin_expect(ent == 0, 0)) {
+    ent = p16[tsel][w16];
+    if (ent == 0) return -RJT_INVALID_CODE;
+  }
+  uint32_t skip = ent & 31;
+  uint32_t adv = (ent >> 5) & 127;
+  uint32_t size = ent >> 12;
+
+  // DC predictor update (the magnitude bits are the LAST `size` bits of
+  // the skip window; AC entries carry size 0, so e collapses to 0).
+  uint32_t w32 = (uint32_t)(st.acc >> 32);
+  uint32_t mag = (w32 >> (32 - skip)) & ((1u << size) - 1);
+  int32_t half = (int32_t)((1u << size) >> 1);
+  int32_t e = (int32_t)mag -
+              (((int32_t)mag < half) ? (int32_t)((1u << size) - 1) : 0);
+  int c = comp_of[st.s];
+  st.dc_pred[c] += is_dc ? e : 0;
+
+  st.acc <<= skip;
+  st.bits -= (int)skip;
+  st.k += (int)adv;
+  bool bd = st.k >= 64;
+  st.k = bd ? 0 : st.k;
+  st.s += (int)bd;
+  bool md = st.s >= nslots;
+  st.s = md ? 0 : st.s;
+  st.m += (int)md;
+  ++st.syms;
+  return (int)md;
+}
+
+}  // namespace
+
+// Returns the clean byte length (>= 0) on success, or -errcode.
+long rjt_index_scan(RjtIndexJob* jobp) {
+  const RjtIndexJob& job = *jobp;
+
+  FusedIdxLut luts[2 * kMaxTables];
+  bool built[2 * kMaxTables] = {};
+  IdxTabs tb;
+  int rc = build_idx_tabs(job, luts, built, tb);
+  if (rc) return rc;
+
+  long clean_len = unstuff_scan(job.scan, job.scan_len, job.clean);
+  if (clean_len < 0) return -RJT_BAD_SEGMENTS;
+
+  IdxState st;
+  st.clean = job.clean;
+  st.n = clean_len;
+  const int64_t bit_limit = (int64_t)clean_len * 8 + 56;
+  const long S = job.min_symbols > 0 ? job.min_symbols : (1L << 60);
+  const uint16_t* const* p12 = tb.p12.data();
+  const uint16_t* const* p16 = tb.p16.data();
+  const int* comp_of = tb.comp_of.data();
+  const int nslots = tb.nslots;
+
+  if ((rc = idx_record(st, job))) return rc;  // record at MCU 0
+  while (st.m < job.total_mcus) {
+    int r = idx_step(st, p12, p16, comp_of, nslots);
+    if (__builtin_expect(r < 0, 0)) return r;
+    if (r) {  // finished an MCU: bounds + record bookkeeping
+      if (st.bit_offset() > bit_limit) return -RJT_SCAN_EXHAUSTED;
+      if (st.syms >= S && st.m < job.total_mcus) {
+        if ((rc = idx_record(st, job))) return rc;
+      }
+    }
+  }
+  if (st.rec > 0) job.sym_count[st.rec - 1] = (int32_t)st.syms;
+  jobp->n_found = st.rec;
+  return clean_len;
+}
+
+// Dual-stream index scan: walks TWO same-geometry jobs symbol-interleaved
+// in one call, so the out-of-order core overlaps the two independent
+// symbol-dependency chains (the single-stream walk is latency-bound on its
+// peek -> LUT -> shift chain, not on execution throughput — and the
+// flattened walker has no per-block mispredict flush to serialize them).
+// Jobs grouped by Huffman digest share one L1-resident LUT set.
+// Returns 0 on success (clean lengths via *clean_len_a/b), or -err.
+long rjt_index_scan2(RjtIndexJob* ja, RjtIndexJob* jb,
+                     long* clean_len_a, long* clean_len_b) {
+  const RjtIndexJob& a = *ja;
+  const RjtIndexJob& b = *jb;
+  if (a.total_mcus != b.total_mcus || a.min_symbols != b.min_symbols ||
+      a.interleaved != b.interleaved)
+    return -RJT_BAD_SEGMENTS;
+
+  // Share one LUT set when both jobs carry identical Huffman tables (the
+  // caller groups streams by table digest, so this is the common case) —
+  // two independent t12 sets would crowd the 48 KiB L1.
+  bool shared = true;
+  for (int t = 0; t < kMaxTables && shared; ++t) {
+    const uint8_t* pa[4] = {a.dc_bits[t], a.dc_values[t], a.ac_bits[t],
+                            a.ac_values[t]};
+    const uint8_t* pb[4] = {b.dc_bits[t], b.dc_values[t], b.ac_bits[t],
+                            b.ac_values[t]};
+    for (int j = 0; j < 4 && shared; ++j) {
+      if ((pa[j] == nullptr) != (pb[j] == nullptr)) shared = false;
+      else if (pa[j] && pa[j] != pb[j] &&
+               std::memcmp(pa[j], pb[j], (j & 1) ? 162 : 16) != 0)
+        shared = false;
+    }
+  }
+
+  FusedIdxLut luts_a[2 * kMaxTables], luts_b[2 * kMaxTables];
+  bool built_a[2 * kMaxTables] = {}, built_b[2 * kMaxTables] = {};
+  IdxTabs ta, tbb;
+  int rc = build_idx_tabs(a, luts_a, built_a, ta);
+  if (rc) return rc;
+  rc = shared ? build_idx_tabs(b, luts_a, built_a, tbb)
+              : build_idx_tabs(b, luts_b, built_b, tbb);
+  if (rc) return rc;
+  if (ta.nslots != tbb.nslots) return -RJT_BAD_SEGMENTS;
+
+  long ca = unstuff_scan(a.scan, a.scan_len, a.clean);
+  long cb = unstuff_scan(b.scan, b.scan_len, b.clean);
+  if (ca < 0 || cb < 0) return -RJT_BAD_SEGMENTS;
+
+  IdxState sa, sb;
+  sa.clean = a.clean;
+  sa.n = ca;
+  sb.clean = b.clean;
+  sb.n = cb;
+  const int64_t lim_a = (int64_t)ca * 8 + 56;
+  const int64_t lim_b = (int64_t)cb * 8 + 56;
+  const long S = a.min_symbols > 0 ? a.min_symbols : (1L << 60);
+  const int total = a.total_mcus;
+  const int nslots = ta.nslots;
+  const uint16_t* const* pa12 = ta.p12.data();
+  const uint16_t* const* pa16 = ta.p16.data();
+  const int* ca_of = ta.comp_of.data();
+  const uint16_t* const* pb12 = tbb.p12.data();
+  const uint16_t* const* pb16 = tbb.p16.data();
+  const int* cb_of = tbb.comp_of.data();
+
+  if ((rc = idx_record(sa, a)) || (rc = idx_record(sb, b))) return rc;
+
+  // Main interleaved loop: both streams advance one symbol per iteration;
+  // the two chains share no state, so they retire in parallel.
+  while (sa.m < total && sb.m < total) {
+    int r1 = idx_step(sa, pa12, pa16, ca_of, nslots);
+    int r2 = idx_step(sb, pb12, pb16, cb_of, nslots);
+    if (__builtin_expect((r1 | r2) < 0, 0)) return r1 < 0 ? r1 : r2;
+    if (r1) {
+      if (sa.bit_offset() > lim_a) return -RJT_SCAN_EXHAUSTED;
+      if (sa.syms >= S && sa.m < total && (rc = idx_record(sa, a)))
+        return rc;
+    }
+    if (r2) {
+      if (sb.bit_offset() > lim_b) return -RJT_SCAN_EXHAUSTED;
+      if (sb.syms >= S && sb.m < total && (rc = idx_record(sb, b)))
+        return rc;
+    }
+  }
+  // Drain whichever stream still has MCUs left.
+  for (IdxState* st : {&sa, &sb}) {
+    const bool isa = (st == &sa);
+    const RjtIndexJob& j = isa ? a : b;
+    const int64_t lim = isa ? lim_a : lim_b;
+    const uint16_t* const* q12 = isa ? pa12 : pb12;
+    const uint16_t* const* q16 = isa ? pa16 : pb16;
+    const int* q_of = isa ? ca_of : cb_of;
+    while (st->m < total) {
+      int r = idx_step(*st, q12, q16, q_of, nslots);
+      if (r < 0) return r;
+      if (r) {
+        if (st->bit_offset() > lim) return -RJT_SCAN_EXHAUSTED;
+        if (st->syms >= S && st->m < total && (rc = idx_record(*st, j)))
+          return rc;
+      }
+    }
+  }
+  if (sa.rec > 0) a.sym_count[sa.rec - 1] = (int32_t)sa.syms;
+  if (sb.rec > 0) b.sym_count[sb.rec - 1] = (int32_t)sb.syms;
+  ja->n_found = sa.rec;
+  jb->n_found = sb.rec;
+  *clean_len_a = ca;
+  *clean_len_b = cb;
+  return 0;
+}
+
+
+// prefix sum of ceil((bit_end-bit_start)/32), as for rjt_pack_dense).
+void rjt_pack_bits(const uint8_t* clean, long clean_len, uint8_t* out,
+                   const int32_t* word_off, const int64_t* bit_start,
+                   const int64_t* bit_end, long n_lanes) {
+  const int64_t max_bit = (int64_t)clean_len * 8;
+  for (long l = 0; l < n_lanes; ++l) {
+    int64_t s = bit_start[l];
+    int64_t e = bit_end[l];
+    long nw = (long)((e - s + 31) / 32);
+    uint8_t* dst = out + (long)word_off[l] * 4;
+    for (long j = 0; j < nw; ++j) {
+      int64_t bit = s + (int64_t)j * 32;
+      long byte = (long)(bit >> 3);
+      int sh = (int)(bit & 7);
+      uint64_t w8;
+      if (byte + 8 <= clean_len) {
+        std::memcpy(&w8, clean + byte, 8);
+        w8 = __builtin_bswap64(w8);
+      } else {
+        w8 = 0;
+        for (int b = 0; b < 8; ++b)
+          w8 = (w8 << 8) | (uint64_t)(byte + b < clean_len ? clean[byte + b] : 0);
+      }
+      (void)max_bit;
+      uint32_t w = (uint32_t)(w8 >> (32 - sh));
+      std::memcpy(dst + j * 4, &w, 4);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Native JPEG header parser — the C++ front-end mirroring the reference's
 // RocJpegStreamParser (src/rocjpeg_parser.cpp:43-470) and bit-for-bit
 // equivalent to the Python parser (rocjpeg_tpu/core/bitstream.py), which
@@ -696,6 +1159,6 @@ int rjt_parse(const uint8_t* buf, long n, RjtParsedHeader* out) {
   return RJT_PARSE_OK;
 }
 
-int rjt_version() { return 3; }
+int rjt_version() { return 4; }
 
 }  // extern "C"

@@ -200,19 +200,45 @@ class Decoder:
                 pass
         return d
 
-    def _group_device_eligible(self, plist) -> bool:
+    def _virtual_k(self, plist) -> Optional[int]:
+        """Virtual-restart record interval (minimum symbols per lane) for
+        this group, or None.
+
+        DRI=0 scans have no restart lanes for the wave; when the native
+        index pass is available, the host walks each stream once recording
+        bit offsets + MCU indices + DC predictors at symbol-balanced MCU
+        boundaries, and the wave decodes those virtual segments in parallel
+        (ops/device_entropy.py pack_virtual_segments). Requires every image
+        in the group to be restart-free (groups already share Huffman
+        tables by key)."""
+        if not all(p.restart_interval == 0 for p in plist):
+            return None
+        if host_decode.native_index_module() is None:
+            return None
+        import os
+        return max(1, int(os.environ.get("ROCJPEG_TPU_VSYMS", "256")))
+
+    def _group_device_eligible(self, plist, virtual_k=None) -> bool:
         """Whether the on-device entropy wave should decode this group."""
         if self._device_entropy == "on":
             return True
         # 'auto': worth it only with enough parallel lanes (restart segments
-        # across the group), else the host path wins.
+        # — real or virtual — across the group), else the host path wins.
         segs = 0
         for p in plist:
             interleaved = len(p.scan_components) > 1
+            nslots = (sum(c.h_sampling_factor * c.v_sampling_factor
+                          for c in p.components) if interleaved else 1)
             total = p.num_mcus if interleaved else (
                 ((p.picture_width + 7) // 8) * ((p.picture_height + 7) // 8))
-            ri = p.restart_interval if p.restart_interval > 0 else total
-            segs += (total + ri - 1) // ri
+            if p.restart_interval > 0:
+                segs += -(-total // p.restart_interval)
+            elif virtual_k:
+                # Virtual lanes: >= 2 symbols per block (DC + EOB) is the
+                # conservative per-MCU symbol floor.
+                segs += total * nslots * 2 // virtual_k
+            else:
+                segs += 1
         return segs >= 64
 
     def decode(self, stream: JpegStream,
@@ -275,12 +301,21 @@ class Decoder:
                         0 < crop.width <= p0.picture_width
                         and 0 < crop.height <= p0.picture_height):
                     crop = None
-                if use_dev and self._group_device_eligible(plist):
+                vk = self._virtual_k(plist) if use_dev else None
+                per_image = None
+                if use_dev and self._group_device_eligible(plist, vk):
                     from .pipeline import decode_group_device_entropy
-                    per_image, err = decode_group_device_entropy(
-                        plist, fmt, crop)
-                    err_flags.append(err)
-                else:
+                    try:
+                        per_image, err = decode_group_device_entropy(
+                            plist, fmt, crop, virtual_k=vk)
+                        err_flags.append(err)
+                    except RocJpegError:
+                        # The virtual-restart index walk rejected a stream
+                        # (corrupt scan); the host path reports precisely.
+                        if vk is None:
+                            raise
+                        per_image = None
+                if per_image is None:
                     coeffs = host_decode.decode_coefficients_batch(plist)
                     per_image = decode_group(plist, coeffs, fmt, crop)
                 for i, chans in zip(idxs, per_image):

@@ -16,7 +16,9 @@ them. This kernel runs the identical algorithm inside ONE Pallas program:
   as the jnp path (outside the kernel - XLA's TPU scatter is fast).
 
 Bit-exactness contract: identical emission semantics to the jnp wave — the
-test suite runs both against the host oracle.
+test suite runs both against the host oracle (tests/test_device_entropy.py
+covers the jnp wave; tests/test_wave_pallas.py runs THIS kernel under the
+Pallas interpreter on CPU across the CSS x restart x corrupt matrix).
 
 Reference context: this kernel is the TPU replacement for the VCN ASIC's
 entropy stage (rocJPEG delegates it via src/rocjpeg_vaapi_decoder.cpp); the
@@ -52,7 +54,14 @@ _ZIGZAG = (
 
 def _pick_r_tile(R: int, n_words: int) -> int:
     """Lane-tile height (sublane rows per grid program): keep the tile's
-    words (R_TILE * n_words * 128 * 4B) within ~6 MB of VMEM."""
+    words (R_TILE * n_words * 128 * 4B) within ~6 MB of VMEM. Measured on
+    v5e: this lands total scoped VMEM near the 16 MB default limit, which
+    is the throughput sweet spot — RAISING the cap to let tiles grow
+    (words-tile budget 16 MB, scoped ~64 MB) measured 3.4x SLOWER on the
+    headline corpus, and shrinking tiles to stay under 12 MB scoped
+    measured ~7x slower (the step's fixed overhead stops amortizing).
+    vmem_limit_bytes below is raised ONLY as headroom for large-n_words
+    packs whose scoped demand lands slightly past 16 MB."""
     budget = 6 * 1024 * 1024
     per_row = n_words * LANE * 4
     rt = max(1, budget // per_row)
@@ -375,7 +384,9 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
             jax.ShapeDtypeStruct((R, LANE), jnp.int32),  # err mask
         ],
         input_output_aliases={7: 0},  # idx_init -> idx_buf
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )
 

@@ -11,9 +11,12 @@ at :76-78):
 This framework uses 16-bit fixed-point int32 arithmetic with round-half-up,
 which (a) is bit-identical across numpy / XLA:CPU / XLA:TPU — float FMA
 fusion is compiler-dependent, so a float path could not promise cross-
-platform exactness — and (b) matches the reference's real-valued formula to
-within its own fp32 rounding (constant quantization error < 1e-3 of one
-8-bit step). Greyscale (4:0:0) replicates Y into all three channels, like
+platform exactness — and (b) matches the reference's real-valued formula
+within 1 LSB, quantified EXHAUSTIVELY (tests/test_color_exhaustive.py):
+R and B match the round-half-up real-valued formula on all 65,536 (Y,C)
+combos each; G deviates by exactly 1 LSB on 6,084 of 16,777,216 (Y,U,V)
+combos (0.036%) that sit at quantization/tie points of the two 16-bit
+constants. Greyscale (4:0:0) replicates Y into all three channels, like
 ColorConvertYUV400ToRGBKernel (hip_kernels.cpp:1915-1927).
 """
 

@@ -161,6 +161,7 @@ class PackedDense:
     n_words: int
     total_bytes: int
     max_seg_bits: int
+    max_lane_syms: int = 0  # EXACT max symbols in any lane (0 = unknown)
 
 
 def _segment_image(scan: bytes):
@@ -422,6 +423,140 @@ def _pack_dense_phase2(params_list, geo, lane_starts, n_pad, n_words,
         total_bytes=int(all_len.sum()),
         max_seg_bits=max_len * 8,
     )
+
+
+def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
+                          total_blocks: int,
+                          min_symbols: int,
+                          local_batch: int = 0):
+    """Pack DRI=0 scans for the wave by manufacturing restart points: the
+    native index pass (csrc rjt_index_scan) walks each image's Huffman
+    stream once on the host, recording (bit offset, MCU index, DC
+    predictors) at the first MCU boundary after every >= ``min_symbols``
+    symbols; each such "virtual segment" becomes a wave lane, bit-aligned
+    during the pack (rjt_pack_bits) so the kernel needs no skip-bits
+    support. Symbol-balanced lanes bound the kernel's VMEM tile and
+    emission buffers by the record interval (a fixed-MCU split lets one
+    dense region blow both up ~16x) and equalize per-lane work.
+
+    Returns (PackedDense, dc_flat int32 (n_lanes, 3),
+    lane_of_mcu int32 (B, total_mcus)): dc_flat[l, c] is component c's DC
+    predictor entering lane l (added to every DC coefficient the lane
+    emits — a lane decoded from predictor 0 is off by exactly its entry
+    predictor, since DC is cumulative); lane_of_mcu[b, m] is the global
+    lane that decodes MCU m of image b (the DC-fixup gather key).
+
+    Raises RocJpegError(BAD_JPEG) if any index walk hits an invalid code;
+    callers fall back to the host path, which reports precisely.
+    """
+    from ..runtime import host_decode
+    native = host_decode.native_index_module()
+    if native is None:
+        raise RocJpegError(Status.NOT_IMPLEMENTED, "native index pass absent")
+
+    p0 = params_list[0]
+    interleaved = len(p0.scan_components) > 1
+    if interleaved:
+        total = p0.num_mcus
+    else:
+        total = (((p0.picture_width + 7) // 8)
+                 * ((p0.picture_height + 7) // 8))
+    S = max(1, min_symbols)
+    B = len(params_list)
+
+    # ---- phase 1: index scans (native releases the GIL; pool across
+    # images like the restart packer). Images are walked in PAIRS
+    # (rjt_index_scan2): the single-stream walk is latency-bound on its
+    # symbol dependency chain, so interleaving two independent streams on
+    # one core overlaps their chains. ----
+    def _scan_pair(pair):
+        if len(pair) == 2:
+            return native.index_scan2(pair[0], pair[1], S)
+        return [native.index_scan(pair[0], S)]
+
+    pairs = [params_list[i:i + 2] for i in range(0, B, 2)]
+    if len(pairs) > 1:
+        scans = [r for rs in _pack_pool().map(_scan_pair, pairs) for r in rs]
+    else:
+        scans = [r for p in pairs for r in _scan_pair(p)]
+
+    lane_starts = []
+    acc = 0
+    max_syms = 0
+    for clean, bo, dc, mi, sc in scans:
+        lane_starts.append(acc)
+        acc += len(bo)
+        if sc.size:
+            max_syms = max(max_syms, int(sc.max()))
+    n_pad = _bucket(max(acc, 1), 256)
+
+    # ---- per-lane geometry + dense word offsets ----
+    lane_words = np.zeros(n_pad, np.int64)
+    bit_starts = np.zeros(n_pad, np.int64)
+    bit_ends = np.zeros(n_pad, np.int64)
+    img_base = np.zeros(n_pad, np.int32)
+    mcu_start = np.zeros(n_pad, np.int32)
+    mcu_count = np.zeros(n_pad, np.int32)
+    dc_flat = np.zeros((n_pad, 3), np.int32)
+    lane_of_mcu = np.zeros((B, total), np.int32)
+    max_bits = 0
+    total_bytes = 0
+    for i, (clean, bo, dc, mi, sc) in enumerate(scans):
+        l0 = lane_starts[i]
+        n_rec = len(bo)
+        ends = np.append(bo[1:], len(clean) * 8)
+        lens = ends - bo
+        sl = slice(l0, l0 + n_rec)
+        bit_starts[sl] = bo
+        bit_ends[sl] = ends
+        lane_words[sl] = (lens + 31) // 32
+        counts = np.diff(np.append(mi, total)).astype(np.int32)
+        local_i = i % local_batch if local_batch else i
+        img_base[sl] = local_i * total_blocks
+        mcu_start[sl] = mi
+        mcu_count[sl] = counts
+        dc_flat[sl] = dc
+        lane_of_mcu[i] = np.repeat(
+            np.arange(l0, l0 + n_rec, dtype=np.int32), counts)
+        max_bits = max(max_bits, int(lens.max()) if lens.size else 0)
+        total_bytes += len(clean)
+
+    n_words = (max_bits + 31) // 32 + 2
+    n_words = _bucket(-(-n_words // 8) * 8, 8)
+    word_off = np.zeros(n_pad + 1, np.int64)
+    np.cumsum(lane_words, out=word_off[1:])
+    used_words = int(word_off[-1])
+    w_pad = _bucket(used_words + n_words, 1 << 16)
+    dense = np.zeros(w_pad, np.uint32)
+    word_off32 = word_off[:n_pad].astype(np.int32)
+
+    # ---- phase 2: bit-aligned lane copies into the dense stream ----
+    def _pack(arg):
+        i, (clean, bo, dc, mi, sc) = arg
+        sl = slice(lane_starts[i], lane_starts[i] + len(bo))
+        native.pack_bits(clean, dense.view(np.uint8), word_off32[sl],
+                         bit_starts[sl], bit_ends[sl])
+
+    jobs = list(enumerate(scans))
+    if B > 1:
+        list(_pack_pool().map(_pack, jobs))
+    else:
+        for j in jobs:
+            _pack(j)
+
+    packed = PackedDense(
+        dense=dense,
+        word_off=word_off32,
+        img_base=img_base,
+        mcu_start=mcu_start,
+        mcu_count=mcu_count,
+        n_lanes=n_pad,
+        n_words=n_words,
+        total_bytes=total_bytes,
+        max_seg_bits=max_bits,
+        max_lane_syms=max_syms,
+    )
+    return packed, dc_flat, lane_of_mcu
 
 
 @functools.lru_cache(maxsize=64)
@@ -793,20 +928,29 @@ def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
 def max_steps_bound(geom: GroupGeometry, packed: PackedSegments) -> int:
     """Hard per-lane symbol bound: every symbol consumes >= 1 bit of real
     payload while the lane is legit, and a block yields at most 65 symbols
-    (1 DC + up to 63 AC + EOB)."""
+    (1 DC + up to 63 AC + EOB). Virtual-restart packs carry the EXACT
+    per-lane symbol counts from the index walk — sizing the emission
+    buffers (and the scatter that reads them, whose cost scales with
+    max_steps * lanes) tight instead of by the pessimistic bits bound."""
     nslots = len(geom.flat_off)
     block_bound = int(packed.mcu_count.max()) * nslots * 65
     bits_bound = packed.max_seg_bits + 64
-    return max(256, min(-(-min(block_bound, bits_bound) // 256) * 256,
-                        block_bound))
+    bound = min(block_bound, bits_bound)
+    exact = getattr(packed, "max_lane_syms", 0)
+    if exact:
+        bound = min(bound, exact)
+    return max(256, min(-(-bound // 256) * 256, block_bound))
 
 
 def wave_backend() -> str:
-    """'pallas' (TPU kernel, the production path) or 'jnp' (XLA while loop,
-    the portable/CPU path). Override with ROCJPEG_TPU_WAVE=jnp|pallas."""
+    """'pallas' (TPU kernel, the production path), 'jnp' (XLA while loop,
+    the portable/CPU path), or 'pallas-interpret' (the production kernel
+    run under the Pallas interpreter on any backend — slow; exists so CI
+    pins the kernel's emission semantics to the host oracle without a TPU).
+    Override with ROCJPEG_TPU_WAVE=jnp|pallas|pallas-interpret."""
     import os
     mode = os.environ.get("ROCJPEG_TPU_WAVE", "auto")
-    if mode in ("jnp", "pallas"):
+    if mode in ("jnp", "pallas", "pallas-interpret"):
         return mode
     return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
@@ -852,9 +996,12 @@ def decode_coefficients_on_device(params_list: Sequence[JpegStreamParams],
     else:
         words = packed.words
 
-    if wave_backend() == "pallas":
+    backend = wave_backend()
+    if backend.startswith("pallas"):
         from ..kernels import wave_pallas
-        fn = wave_pallas.build_wave_kernel(geom, L, packed.n_words, max_steps)
+        fn = wave_pallas.build_wave_kernel(
+            geom, L, packed.n_words, max_steps,
+            interpret=(backend == "pallas-interpret"))
         idx_buf, val_buf, err2 = fn(
             words, lanes2(packed.img_base), lanes2(packed.mcu_start),
             lanes2(packed.mcu_count), tables.lentab, tables.values)

@@ -153,9 +153,34 @@ def stack_group_inputs(params_list, coeff_planes_list, pad_to: int):
     return y, z, z, qy, zq, zq
 
 
+@functools.lru_cache(maxsize=64)
+def _mcu_maps(geom):
+    """Per-component (bh, bw) int32 maps: block -> MCU index within the
+    image, for the DC fixup of virtual-restart decodes. Static per
+    geometry; folded into the jit program as constants."""
+    maps = []
+    mcus_w = geom.mcus_w
+    ncomps = len(geom.comp_base)
+    for c in range(ncomps):
+        s = next(s for s in range(len(geom.comp_of_slot))
+                 if geom.comp_of_slot[s] == c)
+        bw = geom.blocks_w[c]
+        hs = geom.col_step[s]
+        vs = geom.row_step[s] // bw
+        nxt = (geom.comp_base[c + 1] if c + 1 < ncomps
+               else geom.total_blocks)
+        bh = (nxt - geom.comp_base[c]) // bw
+        by = np.arange(bh, dtype=np.int64)[:, None]
+        bx = np.arange(bw, dtype=np.int64)[None, :]
+        mcu = (by // vs) * mcus_w + (bx // hs)
+        maps.append(mcu.astype(np.int32))
+    return tuple(maps)
+
+
 @functools.lru_cache(maxsize=128)
 def _transform_from_flat(geom, css: ChromaSubsampling, width: int,
-                         height: int, output_format: OutputFormat, crop_key):
+                         height: int, output_format: OutputFormat, crop_key,
+                         dc_fix: bool = False):
     """Jitted transform program taking the wave decoder's FLAT coefficient
     tensor directly: the per-component unflatten (reshape + slice per
     component, ~8 separate device dispatches when done eagerly — each a
@@ -163,15 +188,27 @@ def _transform_from_flat(geom, css: ChromaSubsampling, width: int,
     program. The wave/scatter stages stay separate programs on purpose:
     fusing the Pallas custom call, the bulk scatter, and this transform into
     one XLA module measured ~60x slower (the scatter loses its fast-path
-    lowering when fused with other consumers)."""
+    lowering when fused with other consumers).
+
+    dc_fix: when True (virtual-restart decode), the program takes extra
+    operands dc_flat (n_lanes, 3) int32 and lane_of_mcu (B, total_mcus)
+    int32, and adds each lane's entry DC predictor to the DC coefficient of
+    every block that lane decoded, before dequantization."""
     from .ops import device_entropy as de
 
     chroma_present = len(geom.comp_base) >= 3
     decode_fn = build_decode_fn(css, width, height, chroma_present,
                                 output_format, crop_key)
+    mcu_maps = _mcu_maps(geom) if dc_fix else None
 
-    def f(coeffs_flat, qy, qu, qv):
-        comps = de.unflatten_coefficients(coeffs_flat, geom, None)
+    def f(coeffs_flat, qy, qu, qv, dc_flat=None, lane_of_mcu=None):
+        comps = list(de.unflatten_coefficients(coeffs_flat, geom, None))
+        if mcu_maps is not None:
+            for ci in range(len(comps)):
+                lanes = jnp.take(lane_of_mcu, mcu_maps[ci],
+                                 axis=1)                  # (B, bh, bw)
+                fix = jnp.take(dc_flat[:, ci], lanes)     # (B, bh, bw)
+                comps[ci] = comps[ci].at[..., 0].add(fix.astype(jnp.int16))
         y = comps[0]
         if len(comps) >= 3:
             u, v = comps[1], comps[2]
@@ -183,7 +220,8 @@ def _transform_from_flat(geom, css: ChromaSubsampling, width: int,
 
 
 def decode_group_device_entropy(params_list, output_format: OutputFormat,
-                                crop: Optional[CropRectangle] = None):
+                                crop: Optional[CropRectangle] = None,
+                                virtual_k: Optional[int] = None):
     """Fully on-device decode of one same-shape group: the compressed
     bitstream (not coefficient planes) crosses the host->device link as a
     dense word stream, the wave entropy decoder expands it on-chip, and the
@@ -195,7 +233,16 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     caller decides when (or whether) to materialize them.
 
     Requires all images in the group to share Huffman tables (callers group
-    by table digest)."""
+    by table digest).
+
+    virtual_k: when set (a minimum symbol count per lane), the group's
+    scans carry no restart markers and are lane-split at manufactured
+    ("virtual") restart points — the host index pass records bit offsets +
+    MCU indices + DC predictors at symbol-balanced MCU boundaries, and the
+    transform adds each lane's entry predictor back to its DC coefficients
+    (see ops/device_entropy.pack_virtual_segments). May raise
+    RocJpegError(BAD_JPEG) from the index walk; callers fall back to the
+    host path."""
     from .ops import device_entropy as de
 
     p0 = params_list[0]
@@ -206,9 +253,17 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     # coefficient slots decode to zero and are sliced away below).
     batch = bucket_batch(n)
     tables = de.DeviceScanTables.from_params(p0)
-    packed = de.pack_segments(params_list,
-                              de.GroupGeometry.from_params(p0, batch)
-                              .total_blocks, dense=True)
+    total_blocks = de.GroupGeometry.from_params(p0, batch).total_blocks
+    dc_flat = lane_of_mcu = None
+    if virtual_k:
+        packed, dc_flat, lane_of_mcu = de.pack_virtual_segments(
+            params_list, total_blocks, virtual_k)
+        if batch > n:  # pad images contribute no lanes and zero predictors
+            lane_of_mcu = np.concatenate(
+                [lane_of_mcu,
+                 np.zeros((batch - n, lane_of_mcu.shape[1]), np.int32)])
+    else:
+        packed = de.pack_segments(params_list, total_blocks, dense=True)
     coeffs_flat, err, geom = de.decode_coefficients_on_device(
         params_list, tables, packed, batch=batch)
 
@@ -228,8 +283,12 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
 
     crop_key = (crop.left, crop.top, crop.right, crop.bottom) if crop else None
     fn = _transform_from_flat(geom, css, p0.picture_width, p0.picture_height,
-                              OutputFormat(output_format), crop_key)
-    outs = fn(coeffs_flat, qy, qu, qv)
+                              OutputFormat(output_format), crop_key,
+                              dc_flat is not None)
+    if dc_flat is not None:
+        outs = fn(coeffs_flat, qy, qu, qv, dc_flat, lane_of_mcu)
+    else:
+        outs = fn(coeffs_flat, qy, qu, qv)
     pitches = output_pitches(css, p0.picture_width, p0.picture_height,
                              output_format, crop)
     per_image = []

@@ -38,6 +38,14 @@ def native_pack_module():
     return None
 
 
+def native_index_module():
+    """The native module if it supports the virtual-restart index pass
+    (rjt_index_scan / rjt_pack_bits), else None."""
+    if NATIVE_AVAILABLE and getattr(_native, "INDEX_AVAILABLE", False):
+        return _native
+    return None
+
+
 def decode_coefficients(params: JpegStreamParams) -> List[np.ndarray]:
     """Entropy-decode one stream into per-component natural-order coefficient
     planes (blocks_h, blocks_w, 64) int16."""

@@ -83,6 +83,32 @@ class _RjtParsedHeader(ctypes.Structure):
         ("subsampling", ctypes.c_int32), ("num_mcus", ctypes.c_int64),
     ]
 
+class _RjtIndexJob(ctypes.Structure):
+    _fields_ = [
+        ("scan", ctypes.c_char_p),
+        ("scan_len", ctypes.c_long),
+        ("num_components", ctypes.c_int),
+        ("interleaved", ctypes.c_int),
+        ("total_mcus", ctypes.c_int),
+        ("min_symbols", ctypes.c_int),
+        ("h_samp", ctypes.c_int * _MAXC),
+        ("v_samp", ctypes.c_int * _MAXC),
+        ("dc_table", ctypes.c_int * _MAXC),
+        ("ac_table", ctypes.c_int * _MAXC),
+        ("dc_bits", ctypes.c_void_p * _MAXT),
+        ("dc_values", ctypes.c_void_p * _MAXT),
+        ("ac_bits", ctypes.c_void_p * _MAXT),
+        ("ac_values", ctypes.c_void_p * _MAXT),
+        ("clean", ctypes.c_void_p),
+        ("bit_off", ctypes.c_void_p),
+        ("dc_out", ctypes.c_void_p),
+        ("mcu_idx", ctypes.c_void_p),
+        ("sym_count", ctypes.c_void_p),
+        ("n_records", ctypes.c_long),
+        ("n_found", ctypes.c_long),
+    ]
+
+
 # ROCJPEG_HOST_LIB overrides the library path — used by `make test-asan` to
 # load the -fsanitize=address build (the reference ships an ASAN package
 # variant, CMakeLists.txt:160,200-206).
@@ -126,6 +152,18 @@ def _load():
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_long]
             lib.rjt_pack_dense.restype = ctypes.c_long
+        if hasattr(lib, "rjt_index_scan"):
+            lib.rjt_index_scan.argtypes = [ctypes.POINTER(_RjtIndexJob)]
+            lib.rjt_index_scan.restype = ctypes.c_long
+            lib.rjt_index_scan2.argtypes = [
+                ctypes.POINTER(_RjtIndexJob), ctypes.POINTER(_RjtIndexJob),
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long)]
+            lib.rjt_index_scan2.restype = ctypes.c_long
+            lib.rjt_pack_bits.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_long]
+            lib.rjt_pack_bits.restype = None
         return lib
     except OSError:
         return None
@@ -301,3 +339,116 @@ def pack_dense(scan: bytes, dense: np.ndarray, word_off: np.ndarray,
 
 
 DENSE_PACK_AVAILABLE = AVAILABLE and hasattr(_lib, "rjt_pack_dense")
+INDEX_AVAILABLE = AVAILABLE and hasattr(_lib, "rjt_index_scan")
+
+
+def _build_index_job(params: JpegStreamParams, min_symbols: int):
+    """Fill an _RjtIndexJob + output buffers for one stream. Returns
+    (job, clean, bit_off, dc, mcu_idx, sym_count, keepalive)."""
+    ncomp_scan = len(params.scan_components)
+    interleaved = ncomp_scan > 1
+    if interleaved:
+        total = params.num_mcus
+    else:
+        total = (((params.picture_width + 7) // 8)
+                 * (((params.picture_height + 7) // 8)))
+    # Record-capacity bound: one record per >= min_symbols symbols, each
+    # symbol consumes >= 1 bit of scan payload; also at most one per MCU.
+    scan = params.slice_data
+    n_rec = min(total, len(scan) * 8 // max(1, min_symbols)) + 2
+
+    job = _RjtIndexJob()
+    job.scan = scan
+    job.scan_len = len(scan)
+    job.num_components = ncomp_scan
+    job.interleaved = int(interleaved)
+    job.total_mcus = total
+    job.min_symbols = min_symbols
+    keepalive = [scan]
+    for ci in range(ncomp_scan):
+        fc = params.components[ci]
+        sc = params.scan_components[ci]
+        job.h_samp[ci] = fc.h_sampling_factor
+        job.v_samp[ci] = fc.v_sampling_factor
+        job.dc_table[ci] = sc.dc_table_selector
+        job.ac_table[ci] = sc.ac_table_selector
+    for tid in range(min(_MAXT, len(params.huffman_tables))):
+        if not params.load_huffman_table[tid]:
+            continue
+        t = params.huffman_tables[tid]
+        for arr, field in ((t.num_dc_codes, "dc_bits"),
+                           (t.dc_values, "dc_values"),
+                           (t.num_ac_codes, "ac_bits"),
+                           (t.ac_values, "ac_values")):
+            a = np.ascontiguousarray(arr, np.uint8)
+            keepalive.append(a)
+            getattr(job, field)[tid] = a.ctypes.data
+
+    # 8 bytes of zero slack: the branchless walker's refill reads 4 bytes
+    # at a clamped offset <= clean_len.
+    clean = np.zeros(len(scan) + 8, np.uint8)
+    bit_off = np.empty(n_rec, np.int64)
+    dc = np.empty((n_rec, 3), np.int32)
+    mcu_idx = np.empty(n_rec, np.int32)
+    sym_count = np.empty(n_rec, np.int32)
+    job.clean = clean.ctypes.data
+    job.bit_off = bit_off.ctypes.data
+    job.dc_out = dc.ctypes.data
+    job.mcu_idx = mcu_idx.ctypes.data
+    job.sym_count = sym_count.ctypes.data
+    job.n_records = n_rec
+    return job, clean, bit_off, dc, mcu_idx, sym_count, keepalive
+
+
+def index_scan(params: JpegStreamParams, min_symbols: int):
+    """Virtual-restart index pass for a DRI=0 scan (csrc rjt_index_scan):
+    walks the Huffman symbol stream recording the clean-stream bit offset,
+    MCU index, and DC predictor values at the first MCU boundary after
+    every >= ``min_symbols`` decoded symbols (symbol-balanced lanes).
+
+    Returns (clean uint8, bit_off int64 (n,), dc int32 (n, 3),
+    mcu_idx int32 (n,), sym_count int32 (n,)). Raises
+    RocJpegError(BAD_JPEG) if the walk hits an invalid code — the caller
+    falls back to the host decode path, which reports precisely.
+    """
+    job, clean, bit_off, dc, mcu_idx, sym_count, _keep = _build_index_job(
+        params, min_symbols)
+    rc = int(_lib.rjt_index_scan(ctypes.byref(job)))
+    if rc < 0:
+        raise RocJpegError(Status.BAD_JPEG,
+                           _ERROR_NAMES.get(-rc, f"native index error {-rc}"))
+    n = job.n_found
+    return clean[:rc], bit_off[:n], dc[:n], mcu_idx[:n], sym_count[:n]
+
+
+def index_scan2(pa: JpegStreamParams, pb: JpegStreamParams,
+                min_symbols: int):
+    """Dual-stream index pass (csrc rjt_index_scan2): walks two same-shape
+    streams symbol-interleaved so the core overlaps their independent
+    dependency chains. Returns a list of two
+    (clean, bit_off, dc, mcu_idx, sym_count) tuples."""
+    ja, ca, boa, dca, mia, sca, _ka = _build_index_job(pa, min_symbols)
+    jb, cb, bob, dcb, mib, scb, _kb = _build_index_job(pb, min_symbols)
+    la = ctypes.c_long(0)
+    lb = ctypes.c_long(0)
+    rc = int(_lib.rjt_index_scan2(ctypes.byref(ja), ctypes.byref(jb),
+                                  ctypes.byref(la), ctypes.byref(lb)))
+    if rc < 0:
+        raise RocJpegError(Status.BAD_JPEG,
+                           _ERROR_NAMES.get(-rc, f"native index error {-rc}"))
+    na, nb = ja.n_found, jb.n_found
+    return [(ca[:la.value], boa[:na], dca[:na], mia[:na], sca[:na]),
+            (cb[:lb.value], bob[:nb], dcb[:nb], mib[:nb], scb[:nb])]
+
+
+def pack_bits(clean: np.ndarray, dense: np.ndarray, word_off: np.ndarray,
+              bit_start: np.ndarray, bit_end: np.ndarray) -> None:
+    """Pack per-lane bit ranges of a clean stream into the dense word stream
+    (each lane's first bit lands at bit 31 of its first word; GIL released)."""
+    _lib.rjt_pack_bits(
+        ctypes.c_void_p(clean.ctypes.data), len(clean),
+        ctypes.c_void_p(dense.ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(word_off, np.int32).ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(bit_start, np.int64).ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(bit_end, np.int64).ctypes.data),
+        len(word_off))
