@@ -920,7 +920,398 @@ long rjt_index_scan2(RjtIndexJob* ja, RjtIndexJob* jb,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// AVX2 8-stream index walk — the wave kernel's design brought to the host.
+//
+// The scalar walk is latency-bound on its peek -> LUT -> shift chain
+// (~15 cycles/symbol); the dual-stream interleave only recovers ~1.1x
+// because two chains still share one load port's latency. This walker runs
+// EIGHT same-geometry streams in SIMD lanes: every per-symbol operation is
+// one 8-lane vector op, and the chain's LUT load becomes one VPGATHERDD
+// whose latency is paid once per eight symbols. Streams at different block
+// phases never branch — DC/AC/EOB/block/MCU transitions are masked blends,
+// exactly like the TPU wave's lane transitions. Rare events (records,
+// level-2 LUT fallback, lane completion) drop to scalar per-lane fixups.
+// ---------------------------------------------------------------------------
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+
+#pragma GCC push_options
+#pragma GCC target("avx2")
+
+namespace {
+
+struct IdxBanks {
+  // Fused LUT banks, contiguous for gathers: bank b level-1 at
+  // t12[b*4096], level-2 at t16[b*65536]. sel[slot*2 + is_dc] = bank.
+  std::vector<uint16_t> t12;
+  std::vector<uint16_t> t16;
+  std::vector<int32_t> sel;
+  std::vector<int32_t> comp_of;
+  int nslots = 0;
+
+  int build(const RjtIndexJob& job) {
+    struct Key {
+      bool is_dc;
+      int tid;
+    };
+    std::vector<Key> banks;
+    auto bank_of = [&](bool is_dc, int tid) {
+      for (size_t i = 0; i < banks.size(); ++i)
+        if (banks[i].is_dc == is_dc && banks[i].tid == tid) return (int)i;
+      banks.push_back({is_dc, tid});
+      return (int)banks.size() - 1;
+    };
+    auto add_slot = [&](int c) {
+      sel.push_back(bank_of(false, job.ac_table[c]));  // is_dc = 0
+      sel.push_back(bank_of(true, job.dc_table[c]));   // is_dc = 1
+      comp_of.push_back(c);
+    };
+    if (job.interleaved) {
+      for (int c = 0; c < job.num_components; ++c) {
+        int nb = job.v_samp[c] * job.h_samp[c];
+        for (int b = 0; b < nb; ++b) add_slot(c);
+      }
+    } else {
+      add_slot(0);
+    }
+    nslots = (int)comp_of.size();
+
+    t12.assign(banks.size() * 4096 + 2, 0);  // +2: gather reads 32 bits
+    t16.assign(banks.size() * 65536 + 2, 0);
+    FusedIdxLut lut;
+    for (size_t b = 0; b < banks.size(); ++b) {
+      int tid = banks[b].tid;
+      if (tid < 0 || tid >= kMaxTables) return -RJT_BAD_HUFFMAN_TABLE;
+      const uint8_t* bits =
+          banks[b].is_dc ? job.dc_bits[tid] : job.ac_bits[tid];
+      const uint8_t* vals =
+          banks[b].is_dc ? job.dc_values[tid] : job.ac_values[tid];
+      if (!bits) return -RJT_BAD_HUFFMAN_TABLE;
+      if (lut.build(bits, vals, banks[b].is_dc))
+        return -RJT_BAD_HUFFMAN_TABLE;
+      std::memcpy(t12.data() + b * 4096, lut.t12.data(), 4096 * 2);
+      std::memcpy(t16.data() + b * 65536, lut.t16.data(), 65536 * 2);
+    }
+    return 0;
+  }
+};
+
+// Per-lane scalar view of the SIMD state (for rare-event fixups).
+struct Lane8 {
+  RjtIndexJob* job;
+  const uint8_t* base;
+  long clean_len;
+  long rec = 0;
+  bool done = false;
+};
+
+inline __m256i min_epu64(__m256i a, __m256i b) {
+  // Addresses are < 2^63, so a signed compare is fine.
+  __m256i gt = _mm256_cmpgt_epi64(a, b);
+  return _mm256_blendv_epi8(a, b, gt);
+}
+
+// One iteration decodes one symbol in each of 8 lanes.
+// State vectors: acc (2 x 4 u64, top-justified), bits/k/s/m/syms (8 x i32),
+// pos (2 x 4 u64 ABSOLUTE addresses), dc[3] (8 x i32), active (8 x i32).
+long idx_walk8(RjtIndexJob** jobs, const IdxBanks& tb,
+               long* clean_lens_out) {
+  const int total = jobs[0]->total_mcus;
+  const long S = jobs[0]->min_symbols > 0 ? jobs[0]->min_symbols : (1L << 60);
+  const int nslots = tb.nslots;
+
+  Lane8 lanes[8];
+  alignas(32) int64_t base_a[8], end_a[8];
+  long clean_lens[8];
+  for (int l = 0; l < 8; ++l) {
+    RjtIndexJob& j = *jobs[l];
+    long cl = unstuff_scan(j.scan, j.scan_len, j.clean);
+    if (cl < 0) return -RJT_BAD_SEGMENTS;
+    clean_lens[l] = cl;
+    clean_lens_out[l] = cl;
+    lanes[l] = Lane8{&j, j.clean, cl, 0, false};
+    base_a[l] = (int64_t)(uintptr_t)j.clean;
+    end_a[l] = base_a[l] + cl;  // clamp target; buffer has 8B zero slack
+    // Record at MCU 0.
+    j.bit_off[0] = 0;
+    j.mcu_idx[0] = 0;
+    j.dc_out[0] = j.dc_out[1] = j.dc_out[2] = 0;
+    lanes[l].rec = 1;
+  }
+
+  __m256i acc_lo = _mm256_setzero_si256();   // lanes 0..3
+  __m256i acc_hi = _mm256_setzero_si256();   // lanes 4..7
+  __m256i pos_lo = _mm256_load_si256((const __m256i*)base_a);
+  __m256i pos_hi = _mm256_load_si256((const __m256i*)(base_a + 4));
+  const __m256i end_lo = _mm256_load_si256((const __m256i*)end_a);
+  const __m256i end_hi = _mm256_load_si256((const __m256i*)(end_a + 4));
+  __m256i bits = _mm256_setzero_si256();
+  __m256i k = _mm256_setzero_si256();
+  __m256i s = _mm256_setzero_si256();
+  __m256i m = _mm256_setzero_si256();
+  __m256i syms = _mm256_setzero_si256();
+  __m256i dc[3] = {_mm256_setzero_si256(), _mm256_setzero_si256(),
+                   _mm256_setzero_si256()};
+  __m256i active = _mm256_set1_epi32(-1);
+
+  const __m256i c32 = _mm256_set1_epi32(32);
+  const __m256i c63 = _mm256_set1_epi32(63);
+  const __m256i c1 = _mm256_set1_epi32(1);
+  const __m256i vtotal = _mm256_set1_epi32(total);
+  const __m256i vnslots = _mm256_set1_epi32(nslots);
+  // bswap32 shuffle (within each 128-bit half).
+  const __m256i bsw = _mm256_setr_epi8(
+      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
+      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
+
+  auto widen_lo = [](__m256i v32) {  // lanes 0..3 of 8 x i32 -> 4 x i64
+    return _mm256_cvtepi32_epi64(_mm256_castsi256_si128(v32));
+  };
+  auto widen_hi = [](__m256i v32) {
+    return _mm256_cvtepi32_epi64(_mm256_extracti128_si256(v32, 1));
+  };
+  // ZERO-extending widen: the refill word must not drag sign bits into
+  // acc's valid region when shifted by < 32.
+  auto widenu_lo = [](__m256i v32) {
+    return _mm256_cvtepu32_epi64(_mm256_castsi256_si128(v32));
+  };
+  auto widenu_hi = [](__m256i v32) {
+    return _mm256_cvtepu32_epi64(_mm256_extracti128_si256(v32, 1));
+  };
+  auto narrow = [](__m256i lo64, __m256i hi64) {
+    // take low 32 bits of each 64-bit lane -> 8 x i32
+    __m256i lo = _mm256_shuffle_epi32(lo64, 0x08);  // [0,2,-,-] per half
+    __m256i hi = _mm256_shuffle_epi32(hi64, 0x08);
+    __m256i a = _mm256_permute4x64_epi64(lo, 0x08);  // compact to low 128
+    __m256i b = _mm256_permute4x64_epi64(hi, 0x08);
+    return _mm256_inserti128_si256(a, _mm256_castsi256_si128(b), 1);
+  };
+
+  int iter_since_check = 0;
+  for (;;) {
+    int live = _mm256_movemask_ps(_mm256_castsi256_ps(active));
+    if (!live) break;
+
+    // ---- branchless refill: one 32-bit gather per half (absolute
+    // addresses, clamped into each stream's zero slack). ----
+    __m256i need = _mm256_cmpgt_epi32(_mm256_set1_epi32(33), bits);
+    need = _mm256_and_si256(need, active);
+    __m256i rp_lo = min_epu64(pos_lo, end_lo);
+    __m256i rp_hi = min_epu64(pos_hi, end_hi);
+    __m128i wlo = _mm256_i64gather_epi32((const int*)0, rp_lo, 1);
+    __m128i whi = _mm256_i64gather_epi32((const int*)0, rp_hi, 1);
+    __m256i w = _mm256_inserti128_si256(_mm256_castsi128_si256(wlo), whi, 1);
+    w = _mm256_shuffle_epi8(w, bsw);
+    // add = (u64)w << (32 - bits)
+    __m256i sh32 = _mm256_and_si256(_mm256_sub_epi32(c32, bits), c63);
+    __m256i add_lo = _mm256_sllv_epi64(widenu_lo(w), widen_lo(sh32));
+    __m256i add_hi = _mm256_sllv_epi64(widenu_hi(w), widen_hi(sh32));
+    __m256i need_lo = widen_lo(need);
+    need_lo = _mm256_or_si256(need_lo, _mm256_slli_epi64(need_lo, 32));
+    __m256i need_hi = widen_hi(need);
+    need_hi = _mm256_or_si256(need_hi, _mm256_slli_epi64(need_hi, 32));
+    acc_lo = _mm256_or_si256(acc_lo, _mm256_and_si256(add_lo, need_lo));
+    acc_hi = _mm256_or_si256(acc_hi, _mm256_and_si256(add_hi, need_hi));
+    bits = _mm256_add_epi32(bits, _mm256_and_si256(need, c32));
+    pos_lo = _mm256_add_epi64(
+        pos_lo, _mm256_and_si256(need_lo, _mm256_set1_epi64x(4)));
+    pos_hi = _mm256_add_epi64(
+        pos_hi, _mm256_and_si256(need_hi, _mm256_set1_epi64x(4)));
+
+    // ---- peek16 + fused LUT gather ----
+    __m256i w16 = narrow(_mm256_srli_epi64(acc_lo, 48),
+                         _mm256_srli_epi64(acc_hi, 48));
+    __m256i is_dc = _mm256_cmpeq_epi32(k, _mm256_setzero_si256());
+    __m256i selidx = _mm256_sub_epi32(
+        _mm256_add_epi32(s, s), is_dc);  // s*2 + (k==0 ? 1 : 0)
+    __m256i bank = _mm256_i32gather_epi32(tb.sel.data(), selidx, 4);
+    __m256i entidx = _mm256_add_epi32(_mm256_slli_epi32(bank, 12),
+                                      _mm256_srli_epi32(w16, 4));
+    __m256i ent = _mm256_i32gather_epi32((const int*)tb.t12.data(),
+                                         entidx, 2);
+    ent = _mm256_and_si256(ent, _mm256_set1_epi32(0xFFFF));
+
+    // Level-2 fallback / invalid code: rare -> scalar per lane.
+    __m256i miss =
+        _mm256_and_si256(_mm256_cmpeq_epi32(ent, _mm256_setzero_si256()),
+                         active);
+    int missbits = _mm256_movemask_ps(_mm256_castsi256_ps(miss));
+    if (__builtin_expect(missbits, 0)) {
+      alignas(32) int32_t w16_a[8], bank_a[8], ent_a[8];
+      _mm256_store_si256((__m256i*)w16_a, w16);
+      _mm256_store_si256((__m256i*)bank_a, bank);
+      _mm256_store_si256((__m256i*)ent_a, ent);
+      for (int l = 0; l < 8; ++l) {
+        if (!(missbits & (1 << l))) continue;
+        uint32_t e2 = tb.t16[(size_t)bank_a[l] * 65536 + (uint32_t)w16_a[l]];
+        if (e2 == 0) return -RJT_INVALID_CODE;
+        ent_a[l] = (int32_t)e2;
+      }
+      ent = _mm256_load_si256((const __m256i*)ent_a);
+    }
+
+    __m256i skip = _mm256_and_si256(ent, _mm256_set1_epi32(31));
+    __m256i adv = _mm256_and_si256(_mm256_srli_epi32(ent, 5),
+                                   _mm256_set1_epi32(127));
+    __m256i size = _mm256_srli_epi32(ent, 12);
+    skip = _mm256_and_si256(skip, active);
+    adv = _mm256_and_si256(adv, active);
+
+    // ---- DC predictor update (masked; AC lanes have size == 0) ----
+    __m256i w32 = narrow(_mm256_srli_epi64(acc_lo, 32),
+                         _mm256_srli_epi64(acc_hi, 32));
+    __m256i mag = _mm256_srlv_epi32(w32, _mm256_sub_epi32(c32, skip));
+    __m256i szmask = _mm256_sub_epi32(
+        _mm256_sllv_epi32(c1, size), c1);       // (1<<size)-1
+    mag = _mm256_and_si256(mag, szmask);
+    __m256i half = _mm256_srli_epi32(_mm256_add_epi32(szmask, c1), 1);
+    __m256i neg = _mm256_cmpgt_epi32(half, mag);  // mag < half
+    __m256i e = _mm256_sub_epi32(mag, _mm256_and_si256(neg, szmask));
+    e = _mm256_and_si256(_mm256_and_si256(e, is_dc), active);
+    __m256i comp = _mm256_i32gather_epi32(tb.comp_of.data(), s, 4);
+    for (int c = 0; c < 3; ++c) {
+      __m256i cm = _mm256_cmpeq_epi32(comp, _mm256_set1_epi32(c));
+      dc[c] = _mm256_add_epi32(dc[c], _mm256_and_si256(e, cm));
+    }
+
+    // ---- consume bits ----
+    acc_lo = _mm256_sllv_epi64(acc_lo, widen_lo(skip));
+    acc_hi = _mm256_sllv_epi64(acc_hi, widen_hi(skip));
+    bits = _mm256_sub_epi32(bits, skip);
+
+    // ---- state transitions (all masked blends) ----
+    __m256i kn = _mm256_add_epi32(k, adv);
+    __m256i bd = _mm256_cmpgt_epi32(kn, c63);  // k >= 64
+    k = _mm256_andnot_si256(bd, kn);
+    s = _mm256_add_epi32(s, _mm256_and_si256(bd, c1));
+    __m256i md = _mm256_cmpgt_epi32(s, _mm256_sub_epi32(vnslots, c1));
+    s = _mm256_andnot_si256(md, s);
+    m = _mm256_add_epi32(m, _mm256_and_si256(md, c1));
+    syms = _mm256_add_epi32(syms, _mm256_and_si256(active, c1));
+
+    // ---- rare events: record / completion / bounds (scalar per lane) ----
+    __m256i fin = _mm256_and_si256(
+        md, _mm256_cmpgt_epi32(_mm256_add_epi32(m, c1), vtotal));  // m>=total
+    __m256i want_rec = _mm256_and_si256(
+        md, _mm256_cmpgt_epi32(_mm256_add_epi32(syms, c1),
+                               _mm256_set1_epi32((int)std::min(
+                                   S, (long)INT32_MAX))));  // syms >= S
+    __m256i event = _mm256_and_si256(_mm256_or_si256(fin, want_rec), active);
+    int evbits = _mm256_movemask_ps(_mm256_castsi256_ps(event));
+    if (__builtin_expect(evbits || ++iter_since_check >= 4096, 0)) {
+      iter_since_check = 0;
+      alignas(32) int32_t m_a[8], syms_a[8], bits_a[8], dc_a[3][8];
+      alignas(32) int64_t pos_a[8];
+      _mm256_store_si256((__m256i*)m_a, m);
+      _mm256_store_si256((__m256i*)syms_a, syms);
+      _mm256_store_si256((__m256i*)bits_a, bits);
+      for (int c = 0; c < 3; ++c)
+        _mm256_store_si256((__m256i*)dc_a[c], dc[c]);
+      _mm256_store_si256((__m256i*)pos_a, pos_lo);
+      _mm256_store_si256((__m256i*)(pos_a + 4), pos_hi);
+      bool any_change = false;
+      alignas(32) int32_t syms_new[8];
+      _mm256_store_si256((__m256i*)syms_new, syms);
+      int deact = 0;
+      for (int l = 0; l < 8; ++l) {
+        if (lanes[l].done) continue;
+        int64_t bit_off = (pos_a[l] - base_a[l]) * 8 - bits_a[l];
+        if (bit_off > clean_lens[l] * 8 + 56) return -RJT_SCAN_EXHAUSTED;
+        if (m_a[l] >= total) {
+          RjtIndexJob& j = *lanes[l].job;
+          j.sym_count[lanes[l].rec - 1] = syms_a[l];
+          j.n_found = lanes[l].rec;
+          lanes[l].done = true;
+          deact |= 1 << l;
+          any_change = true;
+        } else if ((evbits & (1 << l)) && syms_a[l] >= S) {
+          RjtIndexJob& j = *lanes[l].job;
+          if (lanes[l].rec >= j.n_records) return -RJT_BAD_SEGMENTS;
+          j.sym_count[lanes[l].rec - 1] = syms_a[l];
+          j.bit_off[lanes[l].rec] = bit_off;
+          j.mcu_idx[lanes[l].rec] = m_a[l];
+          j.dc_out[lanes[l].rec * 3 + 0] = dc_a[0][l];
+          j.dc_out[lanes[l].rec * 3 + 1] = dc_a[1][l];
+          j.dc_out[lanes[l].rec * 3 + 2] = dc_a[2][l];
+          ++lanes[l].rec;
+          syms_new[l] = 0;
+          any_change = true;
+        }
+      }
+      if (any_change) {
+        syms = _mm256_load_si256((const __m256i*)syms_new);
+        if (deact) {
+          alignas(32) int32_t act_a[8];
+          _mm256_store_si256((__m256i*)act_a, active);
+          for (int l = 0; l < 8; ++l)
+            if (deact & (1 << l)) act_a[l] = 0;
+          active = _mm256_load_si256((const __m256i*)act_a);
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+#pragma GCC pop_options
+
+// Walk up to 8 same-geometry, same-table jobs in SIMD lockstep. Fills each
+// job's outputs exactly like rjt_index_scan (n_found, clean via job.clean;
+// per-job clean lengths via clean_lens_out). Jobs beyond the first must
+// carry identical Huffman tables (callers group by digest). Returns 0 or
+// -err; returns -RJT_BAD_SEGMENTS when AVX2 is unavailable or the jobs are
+// not uniform — callers then fall back to the scalar pair walker.
+long rjt_index_scan8(RjtIndexJob** jobs, long n_jobs,
+                     long* clean_lens_out) {
+  if (n_jobs != 8) return -RJT_BAD_SEGMENTS;
+  if (!__builtin_cpu_supports("avx2")) return -RJT_BAD_SEGMENTS;
+  const RjtIndexJob& a = *jobs[0];
+  for (int l = 1; l < 8; ++l) {
+    const RjtIndexJob& b = *jobs[l];
+    if (a.total_mcus != b.total_mcus || a.min_symbols != b.min_symbols ||
+        a.interleaved != b.interleaved ||
+        a.num_components != b.num_components)
+      return -RJT_BAD_SEGMENTS;
+    for (int t = 0; t < kMaxTables; ++t) {
+      const uint8_t* pa[4] = {a.dc_bits[t], a.dc_values[t], a.ac_bits[t],
+                              a.ac_values[t]};
+      const uint8_t* pb[4] = {b.dc_bits[t], b.dc_values[t], b.ac_bits[t],
+                              b.ac_values[t]};
+      for (int j = 0; j < 4; ++j) {
+        if ((pa[j] == nullptr) != (pb[j] == nullptr))
+          return -RJT_BAD_SEGMENTS;
+        if (pa[j] && pa[j] != pb[j] &&
+            std::memcmp(pa[j], pb[j], (j & 1) ? 162 : 16) != 0)
+          return -RJT_BAD_SEGMENTS;
+      }
+    }
+  }
+  IdxBanks tb;
+  int rc = tb.build(a);
+  if (rc) return rc;
+  return idx_walk8(jobs, tb, clean_lens_out);
+}
+
+#else  // !__x86_64__
+
+long rjt_index_scan8(RjtIndexJob** jobs, long n_jobs,
+                     long* clean_lens_out) {
+  (void)jobs;
+  (void)n_jobs;
+  (void)clean_lens_out;
+  return -RJT_BAD_SEGMENTS;  // caller falls back to the scalar pair walker
+}
+
+#endif  // __x86_64__
+
+// Pack per-lane BIT ranges of a clean stream into the dense uint32 word
+// stream (bit_start lands at bit 31 of the lane's first word — the wave
+// kernel then needs no skip-bits support; alignment costs one bswap+shift
+// per word here). word_off[l] is the lane's first word in `out` (exclusive
 // prefix sum of ceil((bit_end-bit_start)/32), as for rjt_pack_dense).
 void rjt_pack_bits(const uint8_t* clean, long clean_len, uint8_t* out,
                    const int32_t* word_off, const int64_t* bit_start,

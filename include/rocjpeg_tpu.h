@@ -17,6 +17,8 @@
 #include <stddef.h>
 #include <stdint.h>
 
+#include "rocjpeg_tpu_version.h"
+
 #if defined(__cplusplus)
 extern "C" {
 #endif

@@ -164,6 +164,10 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_long]
             lib.rjt_pack_bits.restype = None
+            lib.rjt_index_scan8.argtypes = [
+                ctypes.POINTER(ctypes.POINTER(_RjtIndexJob)),
+                ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
+            lib.rjt_index_scan8.restype = ctypes.c_long
         return lib
     except OSError:
         return None
@@ -439,6 +443,33 @@ def index_scan2(pa: JpegStreamParams, pb: JpegStreamParams,
     na, nb = ja.n_found, jb.n_found
     return [(ca[:la.value], boa[:na], dca[:na], mia[:na], sca[:na]),
             (cb[:lb.value], bob[:nb], dcb[:nb], mib[:nb], scb[:nb])]
+
+
+def index_scan8(params_list, min_symbols: int):
+    """SIMD 8-stream index pass (csrc rjt_index_scan8, AVX2): eight
+    same-shape, same-table streams walked in vector lanes — the wave
+    kernel's lane model on the host CPU. Returns a list of eight
+    (clean, bit_off, dc, mcu_idx, sym_count) tuples, or None when the SIMD
+    path is unavailable (no AVX2 / non-uniform jobs) — callers fall back
+    to the scalar pair walker."""
+    if len(params_list) != 8 or not hasattr(_lib, "rjt_index_scan8"):
+        return None
+    built = [_build_index_job(p, min_symbols) for p in params_list]
+    jobs = (ctypes.POINTER(_RjtIndexJob) * 8)(
+        *[ctypes.pointer(b[0]) for b in built])
+    clean_lens = (ctypes.c_long * 8)()
+    rc = int(_lib.rjt_index_scan8(jobs, 8, clean_lens))
+    if rc == -5:  # RJT_BAD_SEGMENTS: no AVX2 or non-uniform tables
+        return None
+    if rc < 0:
+        raise RocJpegError(Status.BAD_JPEG,
+                           _ERROR_NAMES.get(-rc, f"native index error {-rc}"))
+    out = []
+    for i, (job, clean, bit_off, dc, mcu_idx, sym_count, _k) in enumerate(built):
+        n = job.n_found
+        out.append((clean[:clean_lens[i]], bit_off[:n], dc[:n],
+                    mcu_idx[:n], sym_count[:n]))
+    return out
 
 
 def pack_bits(clean: np.ndarray, dense: np.ndarray, word_off: np.ndarray,

@@ -19,7 +19,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Install-verification mode (ci/install_check.sh): leave the repo root OFF
+# sys.path so `import rocjpeg_tpu` resolves to the INSTALLED package — the
+# analog of the reference's installed-tree test package
+# (test/CMakeLists.txt:53-207).
+if os.environ.get("ROCJPEG_TPU_INSTALLED") != "1":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
 # The axon sitecustomize calls jax.config.update("jax_platforms", "axon,cpu")
 # at interpreter start, overriding the env var; force it back before any
