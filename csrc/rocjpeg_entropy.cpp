@@ -356,6 +356,58 @@ long rjt_seg_lens(const uint8_t* data, long n, int* seg_lens, long max_segs) {
   return nseg;
 }
 
+// Variant of rjt_seg_lens that also records each segment's RAW byte offset
+// within the (stuffed) scan — the entry point for ROI-selective packing:
+// byte stuffing is context-free, so a packer can start at any segment's
+// raw offset without touching the bytes before it (the reference decodes
+// only the crop in hardware on MI300, vaapi_decoder.cpp:640-658; here the
+// analog is packing only the ROI-intersecting restart segments).
+long rjt_seg_offsets(const uint8_t* data, long n, int* seg_lens,
+                     int64_t* seg_raw_off, long max_segs) {
+  const uint8_t* s = data;
+  const uint8_t* end = data + n;
+  long nseg = 0;
+  long cur = 0;
+  const uint8_t* seg_start = data;
+  while (s < end) {
+    const uint8_t* ff =
+        (const uint8_t*)memchr(s, 0xFF, (size_t)(end - s));
+    if (!ff) {
+      cur += end - s;
+      break;
+    }
+    cur += ff - s;
+    s = ff;
+    if (s + 1 < end) {
+      uint8_t nx = s[1];
+      if (nx == 0x00) {
+        ++cur;
+        s += 2;
+        continue;
+      }
+      if (nx >= 0xD0 && nx <= 0xD7) {
+        if (nseg < max_segs) {
+          seg_lens[nseg] = (int)cur;
+          seg_raw_off[nseg] = seg_start - data;
+        }
+        ++nseg;
+        cur = 0;
+        s += 2;
+        seg_start = s;
+        continue;
+      }
+    }
+    ++cur;
+    ++s;
+  }
+  if (nseg < max_segs) {
+    seg_lens[nseg] = (int)cur;
+    seg_raw_off[nseg] = seg_start - data;
+  }
+  ++nseg;
+  return nseg;
+}
+
 // Phase 2: write up to max_segs segments into the transposed word buffer,
 // starting at global lane lane0. Returns segments written.
 //

@@ -226,7 +226,8 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
                   total_blocks: int,
                   lanes_per_image: int = 0,
                   local_batch: int = 0,
-                  dense: bool = False) -> PackedSegments:
+                  dense: bool = False,
+                  mcu_range=None) -> PackedSegments:
     """Split each image's scan at RSTn markers, unstuff, and pack all
     segments of the group into the TPU-layout word tensor (bits MSB-first
     within each big-endian word; lanes last). Uses the native C packer
@@ -237,11 +238,31 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
     exactly ``lanes_per_image`` lanes (padding lanes interleaved per image,
     image i starting at lane i*lanes_per_image) so the lane axis shards
     evenly over a batch-sharded mesh; ``local_batch`` (images per shard)
-    makes img_base shard-local."""
+    makes img_base shard-local.
+
+    mcu_range=(lo, hi) (dense path only) packs ONLY the restart segments
+    intersecting that MCU index range — the ROI fast path (the reference
+    decodes only the crop in hardware on MI300, vaapi_decoder.cpp:640-658):
+    byte stuffing is context-free and DC predictors reset at every RSTn, so
+    a crop's segments decode without touching the rest of the scan. Blocks
+    outside the packed lanes stay zero in the coefficient tensor and are
+    sliced away by the ROI layout stage."""
     from ..runtime import host_decode
     native = host_decode.native_pack_module()
 
     geo = _geometry_rows(params_list, total_blocks)
+    sel = None
+    if mcu_range is not None and dense:
+        lo, hi = mcu_range
+        sel = []
+        for needed, ri, total in geo:
+            s0 = max(0, min(lo // ri, needed))
+            s1 = max(s0, min(needed, -(-hi // ri)))
+            sel.append((s0, s1))
+        geo_sel = [(s1 - s0, ri, total)
+                   for (s0, s1), (_n, ri, total) in zip(sel, geo)]
+    else:
+        geo_sel = geo
     if lanes_per_image:
         if any(g[0] > lanes_per_image for g in geo):
             raise RocJpegError(Status.INVALID_PARAMETER,
@@ -254,7 +275,7 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
     else:
         starts = []
         acc = 0
-        for g in geo:
+        for g in geo_sel:
             starts.append(acc)
             acc += g[0]
         lane_starts = starts
@@ -262,8 +283,28 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
 
     # ---- phase 1: clean segment lengths (native or numpy) ----
     seg_len_rows = []
+    raw_starts = None
     cleans = None
-    if native is not None:
+    use_offsets = sel is not None and getattr(native, "SEG_OFFSETS_AVAILABLE",
+                                              False)
+    if native is not None and use_offsets:
+        raw_starts = [0] * len(params_list)
+
+        def _lens_sel(arg):
+            i, (p, (needed, ri, total)) = arg
+            lens, raw, found = native.seg_offsets(p.slice_data, needed)
+            if found < needed:
+                raise RocJpegError(Status.BAD_JPEG, "missing restart segments")
+            s0, s1 = sel[i]
+            raw_starts[i] = int(raw[s0]) if s0 < needed else len(p.slice_data)
+            return lens[s0:s1]
+
+        jobs = list(enumerate(zip(params_list, geo)))
+        if len(jobs) > 1:
+            seg_len_rows = list(_pack_pool().map(_lens_sel, jobs))
+        else:
+            seg_len_rows = [_lens_sel(j) for j in jobs]
+    elif native is not None and sel is None:
         def _lens(arg):
             p, (needed, ri, total) = arg
             lens, found = native.seg_lens(p.slice_data, needed)
@@ -277,15 +318,18 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
         else:
             seg_len_rows = [_lens(j) for j in jobs]
     else:
+        native = None  # numpy fallback packs from `cleans` below
         cleans = []
-        for p, (needed, ri, total) in zip(params_list, geo):
+        for i, (p, (needed, ri, total)) in enumerate(zip(params_list, geo)):
             clean, bounds = _segment_image(p.slice_data)
             if bounds.size + 1 < needed:
                 raise RocJpegError(Status.BAD_JPEG, "missing restart segments")
             seg_starts = np.concatenate([[0], bounds])[:needed]
             seg_ends = np.concatenate([bounds, [clean.size]])[:needed]
-            cleans.append((clean, seg_starts))
-            seg_len_rows.append((seg_ends - seg_starts).astype(np.int32))
+            s0, s1 = sel[i] if sel is not None else (0, needed)
+            cleans.append((clean, seg_starts[s0:s1]))
+            seg_len_rows.append((seg_ends - seg_starts)[s0:s1]
+                                .astype(np.int32))
 
     all_len = np.concatenate(seg_len_rows) if seg_len_rows else np.zeros(0, np.int64)
     max_len = int(all_len.max()) if all_len.size else 0
@@ -294,9 +338,11 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
     R = n_pad // 128
 
     if dense:
-        return _pack_dense_phase2(params_list, geo, lane_starts, n_pad,
+        seg0 = [s[0] for s in sel] if sel is not None else None
+        return _pack_dense_phase2(params_list, geo_sel, lane_starts, n_pad,
                                   n_words, seg_len_rows, cleans, native,
-                                  local_batch, total_blocks, all_len, max_len)
+                                  local_batch, total_blocks, all_len, max_len,
+                                  seg0=seg0, raw_starts=raw_starts)
 
     # ---- phase 2: write segment bytes into the transposed word tensor ----
     words = np.zeros((R, n_words, 128), np.uint32)
@@ -347,7 +393,8 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
     )
 
 
-def _lane_geometry(geo, lane_starts, n_pad, local_batch, total_blocks):
+def _lane_geometry(geo, lane_starts, n_pad, local_batch, total_blocks,
+                   seg0=None):
     img_base = np.zeros(n_pad, np.int32)
     mcu_start = np.zeros(n_pad, np.int32)
     mcu_count = np.zeros(n_pad, np.int32)
@@ -355,7 +402,8 @@ def _lane_geometry(geo, lane_starts, n_pad, local_batch, total_blocks):
         sl = slice(l0, l0 + needed)
         local_i = i % local_batch if local_batch else i
         img_base[sl] = local_i * total_blocks
-        ms = np.arange(needed, dtype=np.int32) * ri
+        s0 = seg0[i] if seg0 is not None else 0
+        ms = (s0 + np.arange(needed, dtype=np.int32)) * ri
         mcu_start[sl] = ms
         mcu_count[sl] = np.minimum(ri, total - ms)
     return img_base, mcu_start, mcu_count
@@ -363,10 +411,15 @@ def _lane_geometry(geo, lane_starts, n_pad, local_batch, total_blocks):
 
 def _pack_dense_phase2(params_list, geo, lane_starts, n_pad, n_words,
                        seg_len_rows, cleans, native, local_batch,
-                       total_blocks, all_len, max_len) -> PackedDense:
+                       total_blocks, all_len, max_len, seg0=None,
+                       raw_starts=None) -> PackedDense:
     """Phase 2 of the dense-H2D pack: per-lane word offsets (exclusive
     prefix sum of ceil(len/4)) + one dense word stream, written by the
-    native packer (rjt_pack_dense) or the numpy fallback."""
+    native packer (rjt_pack_dense) or the numpy fallback.
+
+    seg0/raw_starts: ROI-selective packing — per image, the first packed
+    segment's index and its raw byte offset within the stuffed scan (byte
+    stuffing is context-free, so the native packer starts mid-scan)."""
     # Per-lane word counts in GROUP lane order; padding lanes occupy zero
     # words and point at the zeroed tail of the stream.
     lane_words = np.zeros(n_pad, np.int64)
@@ -384,8 +437,12 @@ def _pack_dense_phase2(params_list, geo, lane_starts, n_pad, n_words,
 
     if native is not None and getattr(native, "DENSE_PACK_AVAILABLE", False):
         jobs = []
-        for p, (needed, ri, total), l0 in zip(params_list, geo, lane_starts):
-            jobs.append((p.slice_data, word_off32[l0:l0 + needed], needed))
+        for i, (p, (needed, ri, total), l0) in enumerate(
+                zip(params_list, geo, lane_starts)):
+            data = p.slice_data
+            if raw_starts is not None and raw_starts[i]:
+                data = data[raw_starts[i]:]
+            jobs.append((data, word_off32[l0:l0 + needed], needed))
         if len(jobs) > 1:
             list(_pack_pool().map(
                 lambda j: native.pack_dense(j[0], dense, j[1], j[2]), jobs))
@@ -403,15 +460,21 @@ def _pack_dense_phase2(params_list, geo, lane_starts, n_pad, n_words,
         for (clean, seg_starts), lens, l0 in zip(cleans, seg_len_rows,
                                                  lane_starts):
             nseg = lens.size
-            used = int(seg_starts[nseg - 1] + lens[-1]) if nseg else 0
+            if not nseg:
+                continue
+            # Selected segments are contiguous in `clean`; index relative
+            # to the first packed segment so ROI slices pack correctly.
+            start0 = int(seg_starts[0])
+            used = int(seg_starts[nseg - 1] + lens[-1]) - start0
             lens64 = lens.astype(np.int64)
             base = np.repeat(word_off[l0:l0 + nseg] * 4, lens64)
             within = np.arange(used, dtype=np.int64) - np.repeat(
-                seg_starts[:nseg].astype(np.int64), lens64)
-            u8[base + (within & ~np.int64(3)) + (3 - (within & 3))] = clean[:used]
+                seg_starts[:nseg].astype(np.int64) - start0, lens64)
+            u8[base + (within & ~np.int64(3)) + (3 - (within & 3))] = \
+                clean[start0:start0 + used]
 
     img_base, mcu_start, mcu_count = _lane_geometry(
-        geo, lane_starts, n_pad, local_batch, total_blocks)
+        geo, lane_starts, n_pad, local_batch, total_blocks, seg0=seg0)
     return PackedDense(
         dense=dense,
         word_off=word_off32,
@@ -428,7 +491,8 @@ def _pack_dense_phase2(params_list, geo, lane_starts, n_pad, n_words,
 def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
                           total_blocks: int,
                           min_symbols: int,
-                          local_batch: int = 0):
+                          local_batch: int = 0,
+                          mcu_range=None):
     """Pack DRI=0 scans for the wave by manufacturing restart points: the
     native index pass (csrc rjt_index_scan) walks each image's Huffman
     stream once on the host, recording (bit offset, MCU index, DC
@@ -445,6 +509,11 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
     emits — a lane decoded from predictor 0 is off by exactly its entry
     predictor, since DC is cumulative); lane_of_mcu[b, m] is the global
     lane that decodes MCU m of image b (the DC-fixup gather key).
+
+    mcu_range=(lo, hi): pack only the lanes intersecting that MCU index
+    range (ROI fast path). The index walk still covers the whole stream —
+    bit offsets require it — but the wave decodes, and the link carries,
+    only the crop's lanes.
 
     Raises RocJpegError(BAD_JPEG) if any index walk hits an invalid code;
     callers fall back to the host path, which reports precisely.
@@ -491,10 +560,32 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
     else:
         scans = [r for c in chunks for r in _scan_chunk(c)]
 
+    # Normalize each scan to (clean, bo, dc, mi, sc, end_bit, end_mcu):
+    # the end markers bound the LAST lane (next record's position, or the
+    # stream/image end), which matters when an MCU range drops the tail.
+    norm = []
+    for clean, bo, dc, mi, sc in scans:
+        norm.append((clean, bo, dc, mi, sc, len(clean) * 8, total))
+    scans = norm
+    if mcu_range is not None:
+        # Keep only lanes intersecting [lo, hi): records are sorted by MCU,
+        # so the selection is one contiguous slice per image.
+        lo, hi = mcu_range
+        filtered = []
+        for clean, bo, dc, mi, sc, eb, em in scans:
+            i0 = max(0, int(np.searchsorted(mi, lo, side="right")) - 1)
+            i1 = int(np.searchsorted(mi, hi, side="left"))
+            i1 = max(i1, i0)
+            if i1 < len(bo):
+                eb, em = int(bo[i1]), int(mi[i1])
+            filtered.append((clean, bo[i0:i1], dc[i0:i1], mi[i0:i1],
+                             sc[i0:i1], eb, em))
+        scans = filtered
+
     lane_starts = []
     acc = 0
     max_syms = 0
-    for clean, bo, dc, mi, sc in scans:
+    for clean, bo, dc, mi, sc, eb, em in scans:
         lane_starts.append(acc)
         acc += len(bo)
         if sc.size:
@@ -512,23 +603,28 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
     lane_of_mcu = np.zeros((B, total), np.int32)
     max_bits = 0
     total_bytes = 0
-    for i, (clean, bo, dc, mi, sc) in enumerate(scans):
+    for i, (clean, bo, dc, mi, sc, end_bit, end_mcu) in enumerate(scans):
         l0 = lane_starts[i]
         n_rec = len(bo)
-        ends = np.append(bo[1:], len(clean) * 8)
+        ends = np.append(bo[1:], end_bit)
         lens = ends - bo
         sl = slice(l0, l0 + n_rec)
         bit_starts[sl] = bo
         bit_ends[sl] = ends
         lane_words[sl] = (lens + 31) // 32
-        counts = np.diff(np.append(mi, total)).astype(np.int32)
+        # The last kept lane extends to the next (possibly dropped) record
+        # or the image end — both its bit span and MCU count honor that.
+        nxt = np.append(mi[1:], end_mcu) if n_rec else mi
+        counts = (nxt - mi).astype(np.int32)
         local_i = i % local_batch if local_batch else i
         img_base[sl] = local_i * total_blocks
         mcu_start[sl] = mi
         mcu_count[sl] = counts
         dc_flat[sl] = dc
-        lane_of_mcu[i] = np.repeat(
-            np.arange(l0, l0 + n_rec, dtype=np.int32), counts)
+        if n_rec:
+            span0 = int(mi[0])
+            lane_of_mcu[i, span0:span0 + int(counts.sum())] = np.repeat(
+                np.arange(l0, l0 + n_rec, dtype=np.int32), counts)
         max_bits = max(max_bits, int(lens.max()) if lens.size else 0)
         total_bytes += len(clean)
 
@@ -543,7 +639,7 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
 
     # ---- phase 2: bit-aligned lane copies into the dense stream ----
     def _pack(arg):
-        i, (clean, bo, dc, mi, sc) = arg
+        i, (clean, bo, dc, mi, sc, eb, em) = arg
         sl = slice(lane_starts[i], lane_starts[i] + len(bo))
         native.pack_bits(clean, dense.view(np.uint8), word_off32[sl],
                          bit_starts[sl], bit_ends[sl])

@@ -219,6 +219,32 @@ def _transform_from_flat(geom, css: ChromaSubsampling, width: int,
     return jax.jit(f)
 
 
+def _roi_mcu_range(p0, crop: Optional[CropRectangle]):
+    """MCU index range [lo, hi) covering the crop's MCU rows, or None when
+    the crop is absent / spans all rows. Only whole MCU-row bands can be
+    skipped — restart segments run in scan order, so columns cannot be
+    restricted — which mirrors the reference's hardware ROI granularity
+    (vaapi_decoder.cpp:640-658 crops in-engine; here the analog is packing
+    only the ROI-intersecting segments)."""
+    if crop is None:
+        return None
+    interleaved = len(p0.scan_components) > 1
+    if interleaved:
+        mcu_h = 8 * max(c.v_sampling_factor for c in p0.components)
+        mcus_w = p0.mcus_per_row
+        total = p0.num_mcus
+    else:
+        mcu_h = 8
+        mcus_w = (p0.picture_width + 7) // 8
+        total = mcus_w * ((p0.picture_height + 7) // 8)
+    rows = -(-total // mcus_w)
+    r0 = max(0, min(crop.top // mcu_h, rows))
+    r1 = max(r0, min(rows, -(-crop.bottom // mcu_h)))
+    if r0 == 0 and r1 >= rows:
+        return None
+    return (r0 * mcus_w, r1 * mcus_w)
+
+
 def decode_group_device_entropy(params_list, output_format: OutputFormat,
                                 crop: Optional[CropRectangle] = None,
                                 virtual_k: Optional[int] = None):
@@ -255,15 +281,17 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     tables = de.DeviceScanTables.from_params(p0)
     total_blocks = de.GroupGeometry.from_params(p0, batch).total_blocks
     dc_flat = lane_of_mcu = None
+    mcu_range = _roi_mcu_range(p0, crop)
     if virtual_k:
         packed, dc_flat, lane_of_mcu = de.pack_virtual_segments(
-            params_list, total_blocks, virtual_k)
+            params_list, total_blocks, virtual_k, mcu_range=mcu_range)
         if batch > n:  # pad images contribute no lanes and zero predictors
             lane_of_mcu = np.concatenate(
                 [lane_of_mcu,
                  np.zeros((batch - n, lane_of_mcu.shape[1]), np.int32)])
     else:
-        packed = de.pack_segments(params_list, total_blocks, dense=True)
+        packed = de.pack_segments(params_list, total_blocks, dense=True,
+                                  mcu_range=mcu_range)
     coeffs_flat, err, geom = de.decode_coefficients_on_device(
         params_list, tables, packed, batch=batch)
 

@@ -147,6 +147,11 @@ def _load():
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p,
                 ctypes.c_long, ctypes.c_long, ctypes.c_long]
             lib.rjt_pack_rows.restype = ctypes.c_long
+        if hasattr(lib, "rjt_seg_offsets"):
+            lib.rjt_seg_offsets.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_long]
+            lib.rjt_seg_offsets.restype = ctypes.c_long
         if hasattr(lib, "rjt_pack_dense"):
             lib.rjt_pack_dense.argtypes = [
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p,
@@ -329,6 +334,22 @@ def pack_rows(scan: bytes, words: np.ndarray, lane0: int, n_words: int,
     return int(_lib.rjt_pack_rows(scan, len(scan),
                                   ctypes.c_void_p(words.ctypes.data),
                                   lane0, n_words, max_segs))
+
+
+def seg_offsets(scan: bytes, max_segs: int):
+    """Clean lengths AND raw byte offsets of each restart segment (the raw
+    offset lets a packer start mid-scan — byte stuffing is context-free).
+    Returns (lens int32 (n,), raw_off int64 (n,), found)."""
+    lens = np.zeros(max_segs, np.int32)
+    raw = np.zeros(max_segs, np.int64)
+    n = _lib.rjt_seg_offsets(scan, len(scan),
+                             ctypes.c_void_p(lens.ctypes.data),
+                             ctypes.c_void_p(raw.ctypes.data), max_segs)
+    m = min(int(n), max_segs)
+    return lens[:m], raw[:m], int(n)
+
+
+SEG_OFFSETS_AVAILABLE = AVAILABLE and hasattr(_lib, "rjt_seg_offsets")
 
 
 def pack_dense(scan: bytes, dense: np.ndarray, word_off: np.ndarray,
