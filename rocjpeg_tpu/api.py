@@ -261,17 +261,15 @@ class Decoder:
         for p in stream_params:
             self._validate(p)
 
-        # Shape grouping (JpegStreamKey analog: css + dims; quant tables are
-        # data, not shape). The device-entropy path additionally groups by
-        # Huffman-table digest, since a wave shares decode tables.
+        # Shape grouping (JpegStreamKey analog: css + dims; quant AND
+        # Huffman tables are data, not shape — per-image Huffman tables
+        # ride the wave as banks, pipeline.decode_group_device_entropy).
         use_dev = self._device_entropy != "off"
         groups = {}
         for idx, p in enumerate(stream_params):
             key = (p.chroma_subsampling, p.picture_width, p.picture_height,
                    tuple(c.h_sampling_factor for c in p.components),
                    tuple(c.v_sampling_factor for c in p.components))
-            if use_dev:
-                key = key + (self._huffman_digest(p),)
             groups.setdefault(key, []).append(idx)
 
         results: List[Optional[DecodedImage]] = [None] * len(streams)
@@ -309,10 +307,13 @@ class Decoder:
                         per_image, err = decode_group_device_entropy(
                             plist, fmt, crop, virtual_k=vk)
                         err_flags.append(err)
-                    except RocJpegError:
-                        # The virtual-restart index walk rejected a stream
-                        # (corrupt scan); the host path reports precisely.
-                        if vk is None:
+                    except RocJpegError as exc:
+                        # Fall back to the host path when the group exceeds
+                        # the wave's table-bank capacity, or when the
+                        # virtual-restart index walk rejected a stream (the
+                        # host decoder reports corrupt scans precisely).
+                        if (vk is None and
+                                exc.status != Status.JPEG_NOT_SUPPORTED):
                             raise
                         per_image = None
                 if per_image is None:

@@ -71,14 +71,19 @@ def _pick_r_tile(R: int, n_words: int) -> int:
 
 @functools.lru_cache(maxsize=64)
 def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
-                      interpret: bool = False):
+                      interpret: bool = False, n_banks: int = 1):
     """Compile the Pallas wave decoder for one static geometry.
 
     Returns fn(words(R,n_words,128) u32, img_base(R,128) i32,
                mcu_start(R,128) i32, mcu_count(R,128) i32,
-               lentab(4,16) u32, values(1,_VAL_WORDS) u32,
+               lentab(4*n_banks,16) u32, values(1,n_banks*_VAL_WORDS) u32
+               [, bank(R,128) i32 when n_banks > 1],
                idx_init(max_steps,R,128) i32)
       -> (idx_buf, val_buf, err(R,128) bool)
+
+    n_banks > 1 selects PER-IMAGE Huffman tables by each lane's bank index
+    (reference analog: per-image DHT forwarding, vaapi_decoder.cpp:694-834);
+    n_banks is static, so 1-bank groups compile the exact original program.
 
     (mcu_start is converted to mx0/my0 outside the kernel — Mosaic has no
     integer division.)
@@ -103,8 +108,16 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
     ac_slot = geom.ac_slot
 
     def kernel(words_ref, img_base_ref, mx0_ref, my0_ref, mcu_count_ref,
-               lentab_ref, values_ref, idx_init_ref, idx_hbm, val_hbm,
-               err_ref, ring_idx, ring_val, sems):
+               lentab_ref, values_ref, *rest):
+        if n_banks > 1:
+            (bank_ref, idx_init_ref, idx_hbm, val_hbm, err_ref,
+             ring_idx, ring_val, sems) = rest
+            bank4 = bank_ref[:] * 4
+            bank89 = bank_ref[:] * _VAL_WORDS
+        else:
+            (idx_init_ref, idx_hbm, val_hbm, err_ref,
+             ring_idx, ring_val, sems) = rest
+            bank4 = bank89 = None
         del idx_init_ref  # aliased to idx_hbm; pre-filled with the sentinel
         t = pl.program_id(0)
         r0 = t * R_T
@@ -112,8 +125,8 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
         # (bit patterns are preserved) and bitcast to uint32 for shifting.
         words4i = pltpu.bitcast(words_ref[:], jnp.int32).reshape(
             R_T, n_slabs, 8, LANE)
-        lentab = lentab_ref[:]          # (4, 16) uint32
-        values = values_ref[:]          # (1, _VAL_WORDS) uint32
+        lentab = lentab_ref[:]          # (4 * n_banks, 16) uint32
+        values = values_ref[:]          # (1, n_banks * _VAL_WORDS) uint32
         img_base = img_base_ref[:]
         mcus_w_i = jnp.int32(mcus_w)
 
@@ -161,6 +174,8 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
             is_dc = k == 0
             tslot = jnp.where(is_dc, sel_slot(slot, dc_slot),
                               sel_slot(slot, ac_slot))
+            if n_banks > 1:
+                tslot = tslot + bank4
 
             # ---- first-valid code length: static loop over 16 lengths,
             # scalar table reads broadcast per candidate. ----
@@ -168,12 +183,13 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
             codelen = jnp.ones_like(k)
             code = jnp.zeros_like(k)
             base = jnp.zeros_like(k)
+            nrows = 4 * n_banks
             for li in range(16):
                 cand = (win >> jnp.uint32(31 - li)).astype(jnp.int32)
-                ent = (jnp.where(tslot == 0, lentab[0, li],
-                       jnp.where(tslot == 1, lentab[1, li],
-                       jnp.where(tslot == 2, lentab[2, li],
-                                 lentab[3, li]))))
+                ent = jnp.full(tslot.shape, lentab[nrows - 1, li],
+                               lentab.dtype)
+                for trow in range(nrows - 2, -1, -1):
+                    ent = jnp.where(tslot == trow, lentab[trow, li], ent)
                 maxc1 = (ent >> 15).astype(jnp.int32)
                 b15 = (ent & 0x7FFF).astype(jnp.int32)
                 ok = (cand < maxc1) & ~found
@@ -185,13 +201,18 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
             sym_idx = (code + base) & 0x7FFF
 
             # ---- symbol byte from the packed value LUT (one-hot). ----
-            toff = (jnp.where(tslot == 0, _VAL_OFFS[0],
-                    jnp.where(tslot == 1, _VAL_OFFS[1],
-                    jnp.where(tslot == 2, _VAL_OFFS[2], _VAL_OFFS[3]))))
+            tslot_in_bank = tslot - bank4 if n_banks > 1 else tslot
+            toff = (jnp.where(tslot_in_bank == 0, _VAL_OFFS[0],
+                    jnp.where(tslot_in_bank == 1, _VAL_OFFS[1],
+                    jnp.where(tslot_in_bank == 2, _VAL_OFFS[2],
+                              _VAL_OFFS[3]))))
             flat_sym = jnp.clip(toff + sym_idx, 0, _VAL_TOTAL - 1)
             widx = flat_sym >> 2
+            if n_banks > 1:
+                widx = widx + bank89
             v_oh = (jax.lax.broadcasted_iota(
-                jnp.int32, (R_T, _VAL_WORDS, LANE), 1) == widx[:, None, :])
+                jnp.int32, (R_T, n_banks * _VAL_WORDS, LANE), 1)
+                == widx[:, None, :])
             vword = jnp.sum(
                 jnp.where(v_oh, values[0][None, :, None].astype(jnp.int32),
                           0), axis=1)
@@ -357,9 +378,13 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R_T, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _VAL_WORDS), lambda i: (0, 0),
+            pl.BlockSpec((4 * n_banks, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_banks * _VAL_WORDS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + ([pl.BlockSpec((R_T, LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)] if n_banks > 1 else [])
+        + [
             pl.BlockSpec(memory_space=pltpu.ANY),   # idx_init (aliased)
         ],
         out_specs=[
@@ -383,18 +408,23 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
             jax.ShapeDtypeStruct((max_steps, R, LANE), jnp.int16),
             jax.ShapeDtypeStruct((R, LANE), jnp.int32),  # err mask
         ],
-        input_output_aliases={7: 0},  # idx_init -> idx_buf
+        input_output_aliases={(8 if n_banks > 1 else 7): 0},  # idx_init
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )
 
-    def fn(words, img_base, mcu_start, mcu_count, lentab, values):
+    def fn(words, img_base, mcu_start, mcu_count, lentab, values,
+           bank=None):
         mx0 = mcu_start % jnp.int32(mcus_w)
         my0 = mcu_start // jnp.int32(mcus_w)
         idx_init = jnp.full((max_steps, R, LANE), out_size, jnp.int32)
-        return pc(words, img_base, mx0, my0, mcu_count, lentab,
-                  values.reshape(1, -1), idx_init)
+        args = [words, img_base, mx0, my0, mcu_count, lentab,
+                values.reshape(1, -1)]
+        if n_banks > 1:
+            args.append(bank)
+        args.append(idx_init)
+        return pc(*args)
 
     return jax.jit(fn)

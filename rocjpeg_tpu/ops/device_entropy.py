@@ -88,15 +88,20 @@ def build_canonical_tables(bits: np.ndarray, values: np.ndarray):
 
 @dataclasses.dataclass
 class DeviceScanTables:
-    """Packed decode tables for the 4 (dc0, dc1, ac0, ac1) table slots.
+    """Packed decode tables for the 4 (dc0, dc1, ac0, ac1) table slots, for
+    ``n_banks`` table BANKS (bank b = one image's table set; lanes carry a
+    bank index, so a group needs only shape uniformity, not shared tables —
+    the analog of the reference forwarding per-image DHTs to hardware,
+    vaapi_decoder.cpp:694-834).
 
-    lentab: (4, 16) uint32, (maxcode+1) << 15 | base15, per code length.
-    values: (_VAL_WORDS,) uint32, 4 symbol bytes per word, tables at
-            _VAL_OFFS byte offsets.
+    lentab: (4 * n_banks, 16) uint32, (maxcode+1) << 15 | base15 per length.
+    values: (n_banks * _VAL_WORDS,) uint32, 4 symbol bytes per word, tables
+            at _VAL_OFFS byte offsets within each bank.
     """
     lentab: np.ndarray
     values: np.ndarray
     digest: bytes
+    n_banks: int = 1
 
     @classmethod
     def from_params(cls, p: JpegStreamParams) -> "DeviceScanTables":
@@ -122,7 +127,34 @@ class DeviceScanTables:
                   | (vals[2::4].astype(np.uint32) << 16)
                   | (vals[3::4].astype(np.uint32) << 24))
         digest = lentab.tobytes() + packed.tobytes()
-        return cls(lentab, packed, digest)
+        return cls(lentab, packed, digest, 1)
+
+    @classmethod
+    def from_params_banked(cls, params_list, max_banks: int = 4):
+        """Dedup the group's table sets into banks. Returns
+        (tables, bank_of_image int32 (B,)); raises
+        RocJpegError(JPEG_NOT_SUPPORTED) past ``max_banks`` distinct sets
+        (callers fall back to the host path). Bank count is a jit key —
+        uniform groups (1 bank) compile the exact single-table program."""
+        banks = []
+        digests = {}
+        bank_of = np.zeros(len(params_list), np.int32)
+        for i, p in enumerate(params_list):
+            t = cls.from_params(p)
+            b = digests.get(t.digest)
+            if b is None:
+                b = len(banks)
+                if b >= max_banks:
+                    raise RocJpegError(
+                        Status.JPEG_NOT_SUPPORTED,
+                        f"more than {max_banks} Huffman table sets in group")
+                digests[t.digest] = b
+                banks.append(t)
+            bank_of[i] = b
+        lentab = np.concatenate([t.lentab for t in banks])
+        values = np.concatenate([t.values for t in banks])
+        return cls(lentab, values, b"|".join(t.digest for t in banks),
+                   len(banks)), bank_of
 
 
 @dataclasses.dataclass
@@ -141,6 +173,7 @@ class PackedSegments:
     n_words: int
     total_bytes: int
     max_seg_bits: int      # real payload bits of the longest segment
+    lane_bank: np.ndarray = None  # (n_lanes,) int32 table-bank per lane
 
 
 @dataclasses.dataclass
@@ -162,6 +195,7 @@ class PackedDense:
     total_bytes: int
     max_seg_bits: int
     max_lane_syms: int = 0  # EXACT max symbols in any lane (0 = unknown)
+    lane_bank: np.ndarray = None  # (n_lanes,) int32 table-bank per lane
 
 
 def _segment_image(scan: bytes):
@@ -227,7 +261,8 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
                   lanes_per_image: int = 0,
                   local_batch: int = 0,
                   dense: bool = False,
-                  mcu_range=None) -> PackedSegments:
+                  mcu_range=None,
+                  bank_of=None) -> PackedSegments:
     """Split each image's scan at RSTn markers, unstuff, and pack all
     segments of the group into the TPU-layout word tensor (bits MSB-first
     within each big-endian word; lanes last). Uses the native C packer
@@ -342,7 +377,8 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
         return _pack_dense_phase2(params_list, geo_sel, lane_starts, n_pad,
                                   n_words, seg_len_rows, cleans, native,
                                   local_batch, total_blocks, all_len, max_len,
-                                  seg0=seg0, raw_starts=raw_starts)
+                                  seg0=seg0, raw_starts=raw_starts,
+                                  bank_of=bank_of)
 
     # ---- phase 2: write segment bytes into the transposed word tensor ----
     words = np.zeros((R, n_words, 128), np.uint32)
@@ -373,6 +409,7 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
     img_base = np.zeros(n_pad, np.int32)
     mcu_start = np.zeros(n_pad, np.int32)
     mcu_count = np.zeros(n_pad, np.int32)
+    lane_bank = np.zeros(n_pad, np.int32)
     for i, ((needed, ri, total), l0) in enumerate(zip(geo, lane_starts)):
         sl = slice(l0, l0 + needed)
         local_i = i % local_batch if local_batch else i
@@ -380,6 +417,8 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
         ms = np.arange(needed, dtype=np.int32) * ri
         mcu_start[sl] = ms
         mcu_count[sl] = np.minimum(ri, total - ms)
+        if bank_of is not None:
+            lane_bank[sl] = bank_of[i]
 
     return PackedSegments(
         words=words,
@@ -390,6 +429,7 @@ def pack_segments(params_list: Sequence[JpegStreamParams],
         n_words=n_words,
         total_bytes=int(all_len.sum()),
         max_seg_bits=max_len * 8,
+        lane_bank=lane_bank,
     )
 
 
@@ -412,7 +452,7 @@ def _lane_geometry(geo, lane_starts, n_pad, local_batch, total_blocks,
 def _pack_dense_phase2(params_list, geo, lane_starts, n_pad, n_words,
                        seg_len_rows, cleans, native, local_batch,
                        total_blocks, all_len, max_len, seg0=None,
-                       raw_starts=None) -> PackedDense:
+                       raw_starts=None, bank_of=None) -> PackedDense:
     """Phase 2 of the dense-H2D pack: per-lane word offsets (exclusive
     prefix sum of ceil(len/4)) + one dense word stream, written by the
     native packer (rjt_pack_dense) or the numpy fallback.
@@ -475,6 +515,10 @@ def _pack_dense_phase2(params_list, geo, lane_starts, n_pad, n_words,
 
     img_base, mcu_start, mcu_count = _lane_geometry(
         geo, lane_starts, n_pad, local_batch, total_blocks, seg0=seg0)
+    lane_bank = np.zeros(n_pad, np.int32)
+    if bank_of is not None:
+        for i, ((needed, ri, total), l0) in enumerate(zip(geo, lane_starts)):
+            lane_bank[l0:l0 + needed] = bank_of[i]
     return PackedDense(
         dense=dense,
         word_off=word_off32,
@@ -485,6 +529,7 @@ def _pack_dense_phase2(params_list, geo, lane_starts, n_pad, n_words,
         n_words=n_words,
         total_bytes=int(all_len.sum()),
         max_seg_bits=max_len * 8,
+        lane_bank=lane_bank,
     )
 
 
@@ -492,7 +537,8 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
                           total_blocks: int,
                           min_symbols: int,
                           local_batch: int = 0,
-                          mcu_range=None):
+                          mcu_range=None,
+                          bank_of=None):
     """Pack DRI=0 scans for the wave by manufacturing restart points: the
     native index pass (csrc rjt_index_scan) walks each image's Huffman
     stream once on the host, recording (bit offset, MCU index, DC
@@ -599,6 +645,7 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
     img_base = np.zeros(n_pad, np.int32)
     mcu_start = np.zeros(n_pad, np.int32)
     mcu_count = np.zeros(n_pad, np.int32)
+    lane_bank = np.zeros(n_pad, np.int32)
     dc_flat = np.zeros((n_pad, 3), np.int32)
     lane_of_mcu = np.zeros((B, total), np.int32)
     max_bits = 0
@@ -620,6 +667,8 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
         img_base[sl] = local_i * total_blocks
         mcu_start[sl] = mi
         mcu_count[sl] = counts
+        if bank_of is not None:
+            lane_bank[sl] = bank_of[i]
         dc_flat[sl] = dc
         if n_rec:
             span0 = int(mi[0])
@@ -662,6 +711,7 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
         total_bytes=total_bytes,
         max_seg_bits=max_bits,
         max_lane_syms=max_syms,
+        lane_bank=lane_bank,
     )
     return packed, dc_flat, lane_of_mcu
 
@@ -768,12 +818,19 @@ WAVE_UNROLL = 2
 
 
 def build_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
-                       max_steps: int):
+                       max_steps: int, n_banks: int = 1):
     """Build the raw (un-jitted) wave decoder for one static geometry —
     fn(words(R,n_words,128)u32, img_base(R,128), mcu_start(R,128),
-       mcu_count(R,128), lentab(4,16)u32, values(89,)u32)
+       mcu_count(R,128), lentab(4*n_banks,16)u32, values(n_banks*89,)u32
+       [, bank(R,128) when n_banks > 1])
       -> (coeffs_flat int16, err bool)
     Exposed un-jitted so the dist layer can wrap it in shard_map.
+
+    n_banks > 1 enables PER-IMAGE Huffman tables: each lane carries a bank
+    index selecting its image's table set (the analog of the reference
+    forwarding per-image DHTs, vaapi_decoder.cpp:694-834). n_banks is a
+    static jit key, so uniform groups compile the exact 1-bank program and
+    pay nothing for the feature.
 
     TPU layout: lanes are shaped (R, 128) — the trailing 128 fills the VPU
     lane dimension, R fills sublanes — and every one-hot/table dimension sits
@@ -802,8 +859,8 @@ def build_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
     len_iota = mid(np.arange(16))
     word8_iota = mid(np.arange(8))
     slab_iota = mid(np.arange(n_slabs))
-    vword_iota = mid(np.arange(_VAL_WORDS))
-    tslot_iota = mid(np.arange(4))
+    vword_iota = mid(np.arange(n_banks * _VAL_WORDS))
+    tslot_iota = mid(np.arange(4 * n_banks))
     zig_iota = mid(np.arange(64))
     zigzag_t = mid(ZIGZAG_ORDER)
     lengths16 = mid(np.arange(1, 17), jnp.uint32)
@@ -812,19 +869,25 @@ def build_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
     col_step_t = mid(geom.col_step)
     dc_slot_t = mid(geom.dc_slot)
     ac_slot_t = mid(geom.ac_slot)
-    val_offs_t = mid(_VAL_OFFS)
+    val_offs_t = mid(np.tile(_VAL_OFFS, n_banks))  # within-bank offsets
     # comp one-hot from slot one-hot: per component, which slots map to it.
     comp_slots = [
         [s for s in range(nslots) if geom.comp_of_slot[s] == c]
         for c in range(ncomp)
     ]
 
-    def decoder(words, img_base, mcu_start, mcu_count, lentab, values):
+    def decoder(words, img_base, mcu_start, mcu_count, lentab, values,
+                bank=None):
         # words arrives as (R, n_words, 128); state lanes are (R, 128).
         words4 = words.reshape(R, n_slabs, 8, LANE)
-        lentabu = lentab.astype(jnp.uint32)          # (4, 16)
-        values32 = values.astype(jnp.int32)          # (_VAL_WORDS,)
+        lentabu = lentab.astype(jnp.uint32)          # (4 * n_banks, 16)
+        values32 = values.astype(jnp.int32)          # (n_banks * 89,)
         mcus_w = jnp.int32(geom.mcus_w)
+        bank4 = None
+        bank89 = None
+        if n_banks > 1:
+            bank4 = (bank * 4).astype(jnp.int32)     # (R, 128)
+            bank89 = (bank * _VAL_WORDS).astype(jnp.int32)
 
         def e(x):
             """Lift a (R, 128) lane array to (R, 1, 128) for table ops."""
@@ -869,9 +932,11 @@ def build_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
                 return jnp.sum(jnp.where(slot_oh, table, 0), axis=1)
 
             tslot = jnp.where(is_dc, sel_slot(dc_slot_t), sel_slot(ac_slot_t))
+            if n_banks > 1:
+                tslot = tslot + bank4
 
             # ---- code length + value index via packed lentab. ----
-            t_oh = (tslot_iota == e(tslot))                  # (R, 4, 128)
+            t_oh = (tslot_iota == e(tslot))             # (R, 4*NB, 128)
             # lentab (4,16) joins as (1, 4, 16, 1) against (R, 4, 1, 128).
             packed16 = jnp.sum(
                 jnp.where(t_oh[:, :, None, :],
@@ -894,7 +959,9 @@ def build_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
             toff = jnp.sum(jnp.where(t_oh, val_offs_t, 0), axis=1)
             flat_sym = jnp.clip(toff + sym_idx, 0, _VAL_TOTAL - 1)
             widx = flat_sym >> 2
-            v_oh = (vword_iota == e(widx))                   # (R, 89, 128)
+            if n_banks > 1:
+                widx = widx + bank89
+            v_oh = (vword_iota == e(widx))              # (R, NB*89, 128)
             vword = jnp.sum(jnp.where(v_oh, values32[None, :, None], 0),
                             axis=1)
             symbol = (vword >> ((flat_sym & 3) << 3)) & 0xFF
@@ -1027,9 +1094,10 @@ def build_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
 
 @functools.lru_cache(maxsize=64)
 def _compiled_wave_decoder(geom: GroupGeometry, n_segs: int, n_words: int,
-                           max_steps: int):
+                           max_steps: int, n_banks: int = 1):
     """Jitted + cached single-device variant of :func:`build_wave_decoder`."""
-    return jax.jit(build_wave_decoder(geom, n_segs, n_words, max_steps))
+    return jax.jit(build_wave_decoder(geom, n_segs, n_words, max_steps,
+                                      n_banks))
 
 
 def max_steps_bound(geom: GroupGeometry, packed: PackedSegments) -> int:
@@ -1103,23 +1171,29 @@ def decode_coefficients_on_device(params_list: Sequence[JpegStreamParams],
     else:
         words = packed.words
 
+    n_banks = getattr(tables, "n_banks", 1)
+    bank_args = ()
+    if n_banks > 1:
+        bank_args = (lanes2(packed.lane_bank),)
+
     backend = wave_backend()
     if backend.startswith("pallas"):
         from ..kernels import wave_pallas
         fn = wave_pallas.build_wave_kernel(
             geom, L, packed.n_words, max_steps,
-            interpret=(backend == "pallas-interpret"))
+            interpret=(backend == "pallas-interpret"), n_banks=n_banks)
         idx_buf, val_buf, err2 = fn(
             words, lanes2(packed.img_base), lanes2(packed.mcu_start),
-            lanes2(packed.mcu_count), tables.lentab, tables.values)
+            lanes2(packed.mcu_count), tables.lentab, tables.values,
+            *bank_args)
         out_size = geom.batch * geom.total_blocks * 64
         coeffs = _scatter_epilogue(out_size)(idx_buf, val_buf)
         return coeffs, (err2 > 0).reshape(-1), geom
 
-    fn = _compiled_wave_decoder(geom, L, packed.n_words, max_steps)
+    fn = _compiled_wave_decoder(geom, L, packed.n_words, max_steps, n_banks)
     coeffs, err = fn(words, lanes2(packed.img_base),
                      lanes2(packed.mcu_start), lanes2(packed.mcu_count),
-                     tables.lentab, tables.values)
+                     tables.lentab, tables.values, *bank_args)
     return coeffs, err, geom
 
 

@@ -278,20 +278,24 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     # so pad to power-of-two buckets (pad images contribute zero lanes; their
     # coefficient slots decode to zero and are sliced away below).
     batch = bucket_batch(n)
-    tables = de.DeviceScanTables.from_params(p0)
+    # Per-image Huffman tables ride as BANKS (lanes carry a bank index);
+    # groups therefore key on shape alone. >4 distinct table sets raises
+    # JPEG_NOT_SUPPORTED and the caller falls back to the host path.
+    tables, bank_of = de.DeviceScanTables.from_params_banked(params_list)
     total_blocks = de.GroupGeometry.from_params(p0, batch).total_blocks
     dc_flat = lane_of_mcu = None
     mcu_range = _roi_mcu_range(p0, crop)
     if virtual_k:
         packed, dc_flat, lane_of_mcu = de.pack_virtual_segments(
-            params_list, total_blocks, virtual_k, mcu_range=mcu_range)
+            params_list, total_blocks, virtual_k, mcu_range=mcu_range,
+            bank_of=bank_of)
         if batch > n:  # pad images contribute no lanes and zero predictors
             lane_of_mcu = np.concatenate(
                 [lane_of_mcu,
                  np.zeros((batch - n, lane_of_mcu.shape[1]), np.int32)])
     else:
         packed = de.pack_segments(params_list, total_blocks, dense=True,
-                                  mcu_range=mcu_range)
+                                  mcu_range=mcu_range, bank_of=bank_of)
     coeffs_flat, err, geom = de.decode_coefficients_on_device(
         params_list, tables, packed, batch=batch)
 

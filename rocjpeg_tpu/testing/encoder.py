@@ -82,6 +82,22 @@ def _build_codes(bits: np.ndarray, values: np.ndarray):
 DC_CODES = _build_codes(DC_BITS, DC_VALUES)
 AC_CODES = _build_codes(AC_BITS, AC_VALUES)
 
+# Alternate table set (same symbols, one bit longer codes) — a second
+# Huffman "encoder identity" for mixed-table corpora tests.
+DC_BITS_ALT = np.array([0, 0, 0, 0, 12] + [0] * 11, np.uint8)
+AC_BITS_ALT = np.array([0] * 8 + [len(_AC_SYMBOLS)] + [0] * 7, np.uint8)
+DC_CODES_ALT = _build_codes(DC_BITS_ALT, DC_VALUES)
+AC_CODES_ALT = _build_codes(AC_BITS_ALT, AC_VALUES)
+
+# table_variant -> (dc_bits, dc_values, ac_bits, ac_values, dc_codes,
+# ac_codes); variant 1 produces byte-different DHTs and codes, so streams
+# mixing variants exercise per-image table banks in the wave.
+TABLE_VARIANTS = {
+    0: (DC_BITS, DC_VALUES, AC_BITS, AC_VALUES, DC_CODES, AC_CODES),
+    1: (DC_BITS_ALT, DC_VALUES, AC_BITS_ALT, AC_VALUES, DC_CODES_ALT,
+        AC_CODES_ALT),
+}
+
 
 class _BitWriter:
     """MSB-first bit writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
@@ -112,8 +128,10 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def _encode_block(w: _BitWriter, block_zz: np.ndarray, dc_pred: int) -> int:
+def _encode_block(w: _BitWriter, block_zz: np.ndarray, dc_pred: int,
+                  dc_codes=DC_CODES, ac_codes=AC_CODES) -> int:
     """Encode one block given zigzag-ordered quantized coefficients."""
+    DC_CODES, AC_CODES = dc_codes, ac_codes
     dc = int(block_zz[0])
     diff = dc - dc_pred
     s = _category(diff)
@@ -169,7 +187,8 @@ def encode_coefficients(
         width: int, height: int,
         qtables_zz: Sequence[np.ndarray],
         qtable_ids: Sequence[int],
-        restart_interval: int = 0) -> bytes:
+        restart_interval: int = 0,
+        table_variant: int = 0) -> bytes:
     """Assemble a baseline JPEG from zigzag-ordered quantized coefficient
     planes (bh, bw, 64). Plane block dims must be MCU-padded for the given
     sampling layout."""
@@ -198,12 +217,14 @@ def encode_coefficients(
         out += bytes([i + 1, (h << 4) | v, qtable_ids[i]])
 
     # DHT: table id 0 (DC+AC) and, for color, id 1 (same layout).
+    dc_bits, dc_vals, ac_bits, ac_vals, dc_codes, ac_codes = \
+        TABLE_VARIANTS[table_variant]
     n_tables = 1 if ncomp == 1 else 2
     for tid in range(n_tables):
-        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(DC_VALUES)) \
-            + bytes([tid]) + bytes(DC_BITS.tolist()) + bytes(DC_VALUES.tolist())
-        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(AC_VALUES)) \
-            + bytes([0x10 | tid]) + bytes(AC_BITS.tolist()) + bytes(AC_VALUES.tolist())
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(dc_vals)) \
+            + bytes([tid]) + bytes(dc_bits.tolist()) + bytes(dc_vals.tolist())
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(ac_vals)) \
+            + bytes([0x10 | tid]) + bytes(ac_bits.tolist()) + bytes(ac_vals.tolist())
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
@@ -247,7 +268,8 @@ def encode_coefficients(
                 by, bx = my * v_i + v, mx * h_i + u
             else:
                 by, bx = my, mx
-            dc_pred[ci] = _encode_block(w, coeff_planes_zz[ci][by, bx], dc_pred[ci])
+            dc_pred[ci] = _encode_block(w, coeff_planes_zz[ci][by, bx],
+                                        dc_pred[ci], dc_codes, ac_codes)
     w.pad_to_byte()
     out += w.out
     out += b"\xff\xd9"  # EOI
@@ -262,7 +284,8 @@ def _pad_plane(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
 
 def encode_planes(planes: Sequence[np.ndarray], css: str,
                   restart_interval: int = 0,
-                  qtables_nat: Optional[Sequence[np.ndarray]] = None) -> bytes:
+                  qtables_nat: Optional[Sequence[np.ndarray]] = None,
+                  table_variant: int = 0) -> bytes:
     """Encode uint8 sample planes (already subsampled: Y at (H, W), chroma at
     the css-appropriate dims) into a baseline JPEG."""
     sampling = SAMPLING[css]
@@ -293,7 +316,8 @@ def encode_planes(planes: Sequence[np.ndarray], css: str,
     if len(qtables_zz) == 1 and ncomp > 1:
         qtables_zz = qtables_zz * 2
     return encode_coefficients(coeff_planes, sampling, width, height,
-                               qtables_zz, qtable_ids, restart_interval)
+                               qtables_zz, qtable_ids, restart_interval,
+                               table_variant=table_variant)
 
 
 def random_planes(css: str, width: int, height: int, seed: int = 0):

@@ -72,6 +72,12 @@ def test_shard_files_single_host():
 
 
 def test_graft_entry_dryrun():
+    # __graft_entry__ lives at the repo root (driver infra, not packaged);
+    # resolve it explicitly so the installed-package run finds it too.
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import __graft_entry__ as ge
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
