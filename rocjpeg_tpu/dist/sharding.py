@@ -230,13 +230,25 @@ class MeshDecoder:
         return results
 
     # ------------------------------------------------------------------
-    def decode_batched_local(self, streams: Sequence, params=None):
-        """Pod-scale collective decode: every process calls this with its
-        OWN local streams (equal counts per process, one shape/table group);
-        the global batch is their concatenation in process order. Inputs are
-        assembled per host (jax.make_array_from_process_local_data), so no
-        image bytes ever cross hosts — the jpegDecodePerf per-thread file
+    def decode_batched_local(self, streams: Sequence, params=None,
+                             global_arrays: bool = False):
+        """Pod-scale decode: every process calls this with its OWN local
+        streams (equal counts per process, one shape/table group); the
+        global batch is their concatenation in process order. No image
+        bytes ever cross hosts — the jpegDecodePerf per-thread file
         partitioning (jpegdecodeperf.cpp:245-252) lifted to processes.
+
+        The decode program has no cross-shard communication (restart
+        segments and images are independent), so by default the steady
+        state runs on the PROCESS-LOCAL sub-mesh: each host jits and
+        launches its own program over its own chips, and nothing crosses
+        DCN per batch. Only the end-of-run metrics collective
+        (multihost.allreduce_metrics) is multi-controller. Pass
+        ``global_arrays=True`` to instead build globally-sharded arrays
+        over the full mesh (jax.make_array_from_process_local_data) — only
+        useful when a downstream consumer needs the whole batch as one
+        global jax.Array, at the cost of per-call cross-process
+        coordination.
 
         Returns (per_local_image_channels, pitches, err): channels as host
         numpy arrays for this process's images."""
@@ -252,17 +264,21 @@ class MeshDecoder:
             self._host._validate(p)
         p0 = plist[0]
         n_proc = jax.process_count()
-        n_data = self.mesh.shape["data"]
+        global_arrays = global_arrays and n_proc > 1
+        work_mesh = self.mesh if (n_proc == 1 or global_arrays) \
+            else self.mesh.local_mesh
         n_local = len(plist)
-        # Per-process local batch padded so the global batch splits evenly
-        # over the data axis.
+        # Devices this process's shard spreads over; the local batch is
+        # padded so every device gets the same per-device image count.
+        if global_arrays:
+            dev_local = max(1, work_mesh.shape["data"] // n_proc)
+        else:
+            dev_local = work_mesh.shape["data"]
         local_batch = n_local
-        dev_per_proc = max(1, n_data // max(1, n_proc))
-        if local_batch % dev_per_proc:
-            local_batch = -(-local_batch // dev_per_proc) * dev_per_proc
+        if local_batch % dev_local:
+            local_batch = -(-local_batch // dev_local) * dev_local
         padded = list(plist) + [plist[0]] * (local_batch - n_local)
-        batch = local_batch * n_proc
-        per_dev = batch // n_data
+        per_dev = local_batch // dev_local
 
         geo = de._geometry_rows(padded, 0)
         lanes_per_image = de._bucket(max(g[0] for g in geo), 128)
@@ -271,8 +287,7 @@ class MeshDecoder:
                                   lanes_per_image=lanes_per_image,
                                   local_batch=per_dev)
         max_steps = de.max_steps_bound(geom_local, packed)
-        lanes_global = packed.n_lanes * n_proc
-        n_lanes_dev = lanes_global // n_data
+        n_lanes_dev = packed.n_lanes // dev_local
         R_local = packed.n_lanes // 128
 
         crop = params.crop_rectangle
@@ -280,7 +295,7 @@ class MeshDecoder:
                                      and 0 < crop.height <= p0.picture_height):
             crop = None
         crop_key = (crop.left, crop.top, crop.right, crop.bottom) if crop else None
-        fn = _sharded_wave_decode(self.mesh, geom_local, n_lanes_dev,
+        fn = _sharded_wave_decode(work_mesh, geom_local, n_lanes_dev,
                                   packed.n_words, max_steps,
                                   p0.chroma_subsampling, p0.picture_width,
                                   p0.picture_height, fmt, crop_key)
@@ -297,7 +312,7 @@ class MeshDecoder:
         tables = de.DeviceScanTables.from_params(p0)
 
         def globalize(local, spec):
-            if n_proc == 1:
+            if not global_arrays:
                 return local
             from jax import make_array_from_process_local_data
             sh = NamedSharding(self.mesh, spec)

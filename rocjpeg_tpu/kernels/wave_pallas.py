@@ -385,11 +385,11 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
         ] + ([pl.BlockSpec((R_T, LANE), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)] if n_banks > 1 else [])
         + [
-            pl.BlockSpec(memory_space=pltpu.ANY),   # idx_init (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),   # idx_init (aliased)
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # idx_buf (aliased init)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # val_buf
+            pl.BlockSpec(memory_space=pl.ANY),   # idx_buf (aliased init)
+            pl.BlockSpec(memory_space=pl.ANY),   # val_buf
             pl.BlockSpec((R_T, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),  # err
         ],

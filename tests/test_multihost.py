@@ -39,14 +39,18 @@ local = multihost.shard_files_for_host(list(range(len(blobs))))
 local_blobs = [blobs[i] for i in local]
 
 md = sharding.MeshDecoder(mesh=mesh_lib.make_mesh(space=1))
-per_image, pitches, err = md.decode_batched_local(
-    [api.JpegStream(b) for b in local_blobs],
-    DecodeParams(OutputFormat.RGB))
+# Both steady-state layouts: the default process-local sub-mesh program
+# (no cross-host launch per batch) and the global-arrays path (one
+# globally-sharded jax.Array over the full mesh).
+for global_arrays in (False, True):
+    per_image, pitches, err = md.decode_batched_local(
+        [api.JpegStream(b) for b in local_blobs],
+        DecodeParams(OutputFormat.RGB), global_arrays=global_arrays)
 
-for b, chans in zip(local_blobs, per_image):
-    (ref, pitch), = golden.decode(b, OutputFormat.RGB)
-    np.testing.assert_array_equal(chans[0], ref)
-    assert pitches[0] == pitch
+    for b, chans in zip(local_blobs, per_image):
+        (ref, pitch), = golden.decode(b, OutputFormat.RGB)
+        np.testing.assert_array_equal(chans[0], ref)
+        assert pitches[0] == pitch
 
 img, mpix, secs = multihost.allreduce_metrics(len(local_blobs), 1.0, 0.5)
 assert img == len(blobs)
