@@ -13,6 +13,9 @@ Measures the end-to-end decode path over three corpora:
    reference's jpegdecodeperf lifecycle (jpegdecodeperf.cpp:75-182).
 3. MUG — the reference's actual 4K test image (data/images/mug_420.jpg,
    DRI=0), batched x8.
+4. MIXED — two resolutions (4K + 1080p, two shape groups per call) with
+   per-image Huffman tables (exercises the banked wave + per-group
+   programs; the JpegStreamKey-grouping analog, vaapi_decoder.cpp:694-834).
 
 Prints ONE JSON line on stdout (headline metric + dri0/mug extra fields);
 diagnostics go to stderr.
@@ -35,7 +38,7 @@ def _smooth_plane(rng, h, w, detail=8):
     return np.clip(up + noise, 0, 255).astype(np.uint8)
 
 
-def build_corpus(n_images, w, h, seed=0, ri_mcus=None):
+def build_corpus(n_images, w, h, seed=0, ri_mcus=None, mixed_tables=False):
     from rocjpeg_tpu.testing import encoder
     rng = np.random.default_rng(seed)
     datas = []
@@ -45,19 +48,24 @@ def build_corpus(n_images, w, h, seed=0, ri_mcus=None):
         planes = [_smooth_plane(rng, h, w),
                   _smooth_plane(rng, h // 2, w // 2),
                   _smooth_plane(rng, h // 2, w // 2)]
-        datas.append(encoder.encode_planes(planes, "420",
-                                           restart_interval=ri_mcus))
+        datas.append(encoder.encode_planes(
+            planes, "420", restart_interval=ri_mcus,
+            table_variant=(i % 2) if mixed_tables else 0))
     return datas
 
 
-def run_config(name, decoder, datas, params, iters, n_threads, w, h):
+def run_config(name, decoder, datas, params, iters, n_threads, w=None, h=None,
+               mpix_iter=None):
     """Measure one corpus: returns Mpix/s. Streams are parsed once (cheap
     header parse, the reference's handle model); all entropy/index work
-    runs per decode call."""
+    runs per decode call. mpix_iter overrides the uniform w*h*n pixel
+    count for mixed-shape corpora."""
     from rocjpeg_tpu import api
 
     n_images = len(datas)
     streams = [api.JpegStream(d) for d in datas]
+    if mpix_iter is None:
+        mpix_iter = n_images * w * h / 1e6
 
     # Warmup (jit compile + caches).
     imgs = decoder.decode_batched(streams, params)
@@ -108,7 +116,7 @@ def run_config(name, decoder, datas, params, iters, n_threads, w, h):
         assert not bool(np.asarray(e).any()), "decode error flagged in bench"
 
     elapsed = t1 - t0
-    mpix_s = iters * n_images * w * h / 1e6 / elapsed
+    mpix_s = iters * mpix_iter / elapsed
     print(f"[{name}] {iters} iters x {n_images} images in {elapsed:.2f}s "
           f"({iters * n_images / elapsed:.1f} img/s, {mpix_s:.1f} Mpix/s)",
           file=sys.stderr)
@@ -176,6 +184,8 @@ def main():
         if os.path.exists("/root/reference/data/images/mug_420.jpg"):
             mug = run_leg_subprocess("mug")
             result["mug420_mpix_s"] = round(mug, 1)
+        mixed = run_leg_subprocess("mixed")
+        result["mixed_mpix_s"] = round(mixed, 1)
         print(json.dumps(result))
         return
 
@@ -190,6 +200,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     t0 = time.time()
+    mpix_iter = None
     if leg == "headline":
         datas = build_corpus(n_images, w, h, ri_mcus=ri_mcus)
     elif leg == "dri0":
@@ -199,10 +210,24 @@ def main():
         datas = [mug] * 8
         iters = max(4, iters // 2)
         w, h = 3840, 2160
+    elif leg == "mixed":
+        # Bench realism: two resolutions (two shape groups, two compiled
+        # programs per call) AND per-image Huffman tables (banked wave —
+        # groups key on shape alone). The reference analog is the
+        # JpegStreamKey grouping in vaapi_decoder.cpp:694-834 with
+        # per-image DHT forwarding.
+        half = n_images // 2
+        datas = (build_corpus(half, w, h, seed=2, ri_mcus=ri_mcus,
+                              mixed_tables=True)
+                 + build_corpus(half, 1920, 1088, seed=3, ri_mcus=ri_mcus,
+                                mixed_tables=True))
+        mpix_iter = (half * w * h + half * 1920 * 1088) / 1e6
     else:
         raise SystemExit(f"unknown BENCH_LEG {leg!r}")
-    print(f"[{leg}] corpus: {len(datas)} x {w}x{h} 4:2:0, "
-          f"avg {sum(map(len, datas))/len(datas)/1024:.0f} KiB, "
+    if mpix_iter is None:
+        mpix_iter = len(datas) * w * h / 1e6
+    print(f"[{leg}] corpus: {len(datas)} imgs, {mpix_iter:.1f} Mpix/iter "
+          f"4:2:0, avg {sum(map(len, datas))/len(datas)/1024:.0f} KiB, "
           f"built in {time.time()-t0:.1f}s", file=sys.stderr)
 
     from rocjpeg_tpu import api
@@ -217,7 +242,8 @@ def main():
     print(f"host entropy backend: {host_decode.backend_name()}; "
           f"device_entropy={entropy_mode}", file=sys.stderr)
 
-    value = run_config(leg, decoder, datas, params, iters, n_threads, w, h)
+    value = run_config(leg, decoder, datas, params, iters, n_threads,
+                       mpix_iter=mpix_iter)
     print(json.dumps({
         "metric": f"Mpixels/sec/chip batched 4:2:0 decode ({leg})",
         "value": round(value, 1),

@@ -100,14 +100,15 @@ def run(nproc: int) -> float:
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", str(pid % (os.cpu_count() or 1))] + cmd
         procs.append(subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))))
     rate = disp = None
     for p in procs:
-        out, _ = p.communicate(timeout=1500)
+        out, err = p.communicate(timeout=1500)
         if p.returncode != 0:
-            raise RuntimeError(f"worker failed rc={p.returncode}")
+            raise RuntimeError(f"worker failed rc={p.returncode}:\n"
+                               f"{(err or '')[-3000:]}")
         for line in (out or "").splitlines():
             if line.startswith("RESULT "):
                 parts = line.split()
