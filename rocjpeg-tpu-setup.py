@@ -28,15 +28,24 @@ import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# (requirement-spec display string, pip argv tail). Installs run as
+# [sys.executable, -m, pip, install, *argv] so they target THIS
+# interpreter, and the argv form keeps 'jax[tpu]' a single unquoted
+# requirement token (shell quoting would leak literal quotes into pip).
 RUNTIME_PKGS = [
-    ("jax", 'pip install "jax[tpu]" -f '
-            "https://storage.googleapis.com/jax-releases/libtpu_releases.html"),
-    ("numpy", "pip install numpy"),
+    ("jax", ["jax[tpu]", "-f",
+             "https://storage.googleapis.com/jax-releases/"
+             "libtpu_releases.html"]),
+    ("numpy", ["numpy"]),
 ]
 DEV_PKGS = [
-    ("pytest", "pip install pytest"),
-    ("build", "pip install build"),
+    ("pytest", ["pytest"]),
+    ("build", ["build"]),
 ]
+
+
+def _fix_str(argv) -> str:
+    return "pip install " + " ".join(argv)
 
 _failures = []
 
@@ -75,11 +84,17 @@ def main() -> int:
 
     # 2. python deps
     pkgs = RUNTIME_PKGS + (DEV_PKGS if want_dev else [])
-    for mod, fix in pkgs:
+    for mod, argv in pkgs:
         if not have_module(mod) and do_install:
-            print(f"[install] {fix}")
-            subprocess.run(fix.split(), check=False)
-        check(have_module(mod), f"python dep: {mod}", fix)
+            print(f"[install] {_fix_str(argv)}")
+            subprocess.run([sys.executable, "-m", "pip", "install"] + argv,
+                           check=False)
+            # An in-process install leaves the import system's finder
+            # caches stale; invalidate before re-probing or a successful
+            # install is still reported MISSING.
+            import importlib
+            importlib.invalidate_caches()
+        check(have_module(mod), f"python dep: {mod}", _fix_str(argv))
 
     if _failures:
         print(f"\n{len(_failures)} prerequisite(s) missing; fix the above "

@@ -134,6 +134,27 @@ class Decoder:
     def last_error_flags(self, flags: list) -> None:
         self._tls.error_flags = flags
 
+    def last_failed_indices(self) -> list:
+        """Batch indices of images whose scans the on-device wave flagged
+        as corrupt in the calling thread's most recent decode_batched call.
+
+        Materializes the device error flags (one sync). This is the lazy
+        (check_errors=False) route to the same per-image attribution the
+        check_errors=True path reports in its BAD_JPEG message — the analog
+        of the reference's naturally-attributing per-image drain loop
+        (src/rocjpeg_decoder.cpp:220-286)."""
+        import numpy as np
+        bad = []
+        for err, lane_img, idxs in getattr(self._tls, "error_lanes", []):
+            flags = np.asarray(err)
+            if not flags.any():
+                continue
+            lanes = np.nonzero(flags.reshape(-1))[0]
+            for li in np.unique(lane_img[lanes]):
+                if 0 <= li < len(idxs):
+                    bad.append(idxs[li])
+        return sorted(set(bad))
+
     # ------------------------------------------------------------------
     def get_image_info(self, stream: JpegStream) -> ImageInfo:
         """rocJpegGetImageInfo analog; exact channel-dimension semantics of
@@ -271,16 +292,20 @@ class Decoder:
                    tuple(c.h_sampling_factor for c in p.components),
                    tuple(c.v_sampling_factor for c in p.components))
             groups.setdefault(key, []).append(idx)
+        # Chunk each shape group by the spec's lane budget — the analog of
+        # the reference chunking its batch by num_jpeg_cores
+        # (src/rocjpeg_decoder.cpp:208-218). One XLA program per chunk
+        # bounds in-flight HBM (coefficients + outputs) for huge batches
+        # while small batches still run as one program.
+        chunk_w = max(1, int(self._spec.num_decode_lanes))
+        chunks = []
+        for idxs in groups.values():
+            for lo in range(0, len(idxs), chunk_w):
+                chunks.append(idxs[lo:lo + chunk_w])
 
         results: List[Optional[DecodedImage]] = [None] * len(streams)
         err_flags = []
-        # Throttle BEFORE dispatching: at most max_inflight-1 prior
-        # submissions may be outstanding when new work enters the queue
-        # (a third concurrent wave-kernel instance can stall the runtime
-        # scheduler — see kernels/wave_pallas.py).
-        with self._lock:
-            while len(self._inflight) >= self._max_inflight:
-                self._inflight.pop(0).block_until_ready()
+        err_lanes = []  # (err, lane_img, global idxs) per device-path chunk
         # jax.default_device carries measurable per-call overhead; only pay
         # it when targeting a non-default device.
         import contextlib
@@ -288,7 +313,17 @@ class Decoder:
                    if self._device != jax.devices()[0]
                    else contextlib.nullcontext())
         with dev_ctx:
-            for key, idxs in groups.items():
+            for idxs in chunks:
+                # Throttle BEFORE dispatching each chunk: at most
+                # max_inflight-1 prior submissions (any path, any thread)
+                # may be outstanding when new work enters the queue — a
+                # third concurrent wave-kernel instance can stall the
+                # runtime scheduler (see kernels/wave_pallas.py), and for
+                # multi-chunk batches this is also what bounds in-flight
+                # HBM to ~max_inflight chunks.
+                with self._lock:
+                    while len(self._inflight) >= self._max_inflight:
+                        self._inflight.pop(0).block_until_ready()
                 plist = [stream_params[i] for i in idxs]
                 # Normalize the crop per group: an invalid ROI decodes the
                 # full image (decoder.cpp:123-131) and must not create extra
@@ -304,9 +339,12 @@ class Decoder:
                 if use_dev and self._group_device_eligible(plist, vk):
                     from .pipeline import decode_group_device_entropy
                     try:
-                        per_image, err = decode_group_device_entropy(
+                        per_image, err, lane_img = decode_group_device_entropy(
                             plist, fmt, crop, virtual_k=vk)
                         err_flags.append(err)
+                        err_lanes.append((err, lane_img, idxs))
+                        with self._lock:
+                            self._inflight.append(err)
                     except RocJpegError as exc:
                         # Fall back to the host path when the group exceeds
                         # the wave's table-bank capacity, or when the
@@ -319,6 +357,12 @@ class Decoder:
                 if per_image is None:
                     coeffs = host_decode.decode_coefficients_batch(plist)
                     per_image = decode_group(plist, coeffs, fmt, crop)
+                    # Host-path submissions never sync in this call, so they
+                    # need explicit backpressure tokens too (the device
+                    # path's token is its err-flag array above); blocking on
+                    # one channel drains the chunk's whole batched program.
+                    with self._lock:
+                        self._inflight.append(per_image[0][0][0])
                 for i, chans in zip(idxs, per_image):
                     img = DecodedImage.empty()
                     for ci, (arr, pitch) in enumerate(chans):
@@ -328,13 +372,13 @@ class Decoder:
         # One deferred error check for the whole call (single sync), after
         # every group has been dispatched asynchronously.
         self.last_error_flags = err_flags
+        self._tls.error_lanes = err_lanes
         if self._check_errors and err_flags:
             import numpy as np
             if any(bool(np.asarray(e).any()) for e in err_flags):
+                bad = self.last_failed_indices()
                 raise RocJpegError(
                     Status.BAD_JPEG,
-                    "on-device entropy decode failed (corrupt scan)")
-        elif err_flags:
-            with self._lock:
-                self._inflight.extend(err_flags)
+                    "on-device entropy decode failed (corrupt scan) in "
+                    f"batch image(s) {bad}")
         return results

@@ -327,7 +327,11 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     for i in range(n):
         per_image.append([(LazyChannel(arr, i), pitch)
                           for arr, pitch in zip(outs, pitches)])
-    return per_image, err
+    # lane -> group-local image index (host metadata): lets the caller map
+    # errored wave lanes back to the offending stream, the analog of the
+    # reference's naturally-attributing per-image loop (decoder.cpp:220-286).
+    lane_img = (packed.img_base // max(total_blocks, 1)).astype(np.int32)
+    return per_image, err, lane_img
 
 
 def decode_group(params_list, coeff_planes_list,

@@ -72,7 +72,7 @@ def main():
     t_idct = timeit(lambda: dfn(comps[0], comps[1], comps[2], qy, qc, qc))
 
     def e2e():
-        out, err = pipeline.decode_group_device_entropy(
+        out, err, _ = pipeline.decode_group_device_entropy(
             plist, OutputFormat.NATIVE)
         return out[0][0][0]
     t_e2e = timeit(e2e)
