@@ -1394,6 +1394,15 @@ void rjt_pack_bits(const uint8_t* clean, long clean_len, uint8_t* out,
   }
 }
 
+// Standalone unstuff for the device-sync entropy path (the self-
+// synchronizing wave needs only the clean byte stream on device — chunk
+// lanes start at clean byte offsets, so there is no host index walk and no
+// bit-aligned repack). Returns the clean length, or -1 when a real RSTn
+// marker is embedded (DRI=0 streams must carry none).
+long rjt_unstuff(const uint8_t* scan, long n, uint8_t* clean) {
+  return unstuff_scan(scan, n, clean);
+}
+
 // ---------------------------------------------------------------------------
 // Native JPEG header parser — the C++ front-end mirroring the reference's
 // RocJpegStreamParser (src/rocjpeg_parser.cpp:43-470) and bit-for-bit

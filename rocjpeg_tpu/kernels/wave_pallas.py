@@ -37,19 +37,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import wave_common as wc
+
 FLUSH = 8          # symbols per emission round (= ring slab depth)
 LANE = 128
 
-_VAL_OFFS = (0, 16, 32, 194)
-_VAL_TOTAL = 356
-_VAL_WORDS = (_VAL_TOTAL + 3) // 4
-
-# Natural index of the k-th zigzag coefficient (ITU-T T.81 Figure 5).
-_ZIGZAG = (
-    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+_VAL_OFFS = wc.VAL_OFFS
+_VAL_TOTAL = wc.VAL_TOTAL
+_VAL_WORDS = wc.VAL_WORDS
+_ZIGZAG = wc.ZIGZAG
 
 
 def _pick_r_tile(R: int, n_words: int) -> int:
@@ -144,31 +140,10 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
             err = erri > 0
             active = (mcu_rem > 0) & ~err
 
-            # ---- refill ----
-            need = navail <= 32
-            want_slab = wcur >> 3
-            reload = need & (want_slab != slab_id)
-            slab_oh = (jax.lax.broadcasted_iota(
-                jnp.int32, (R_T, n_slabs, 1, LANE), 1)
-                == want_slab[:, None, None, :])
-            slab_new = jnp.sum(jnp.where(slab_oh, words4i, 0),
-                               axis=1)                    # (R_T, 8, LANE) i32
-            slab = jnp.where(reload[:, None, :], slab_new, slab)
-            slab_id = jnp.where(reload, want_slab, slab_id)
-            word_oh = (jax.lax.broadcasted_iota(
-                jnp.int32, (R_T, 8, LANE), 1) == (wcur & 7)[:, None, :])
-            w = pltpu.bitcast(jnp.sum(jnp.where(word_oh, slab, 0), axis=1),
-                              jnp.uint32)
-            na_u = (navail & 31).astype(jnp.uint32)
-            hi_or = jnp.where(navail < 32, w >> na_u, jnp.uint32(0))
-            lo_or = jnp.where(
-                navail == 0, jnp.uint32(0),
-                jnp.where(navail == 32, w,
-                          w << ((32 - navail) & 31).astype(jnp.uint32)))
-            acc0 = jnp.where(need, acc0 | hi_or, acc0)
-            acc1 = jnp.where(need, acc1 | lo_or, acc1)
-            navail = jnp.where(need, navail + 32, navail)
-            wcur = jnp.where(need, wcur + 1, wcur)
+            # ---- refill + symbol decode (shared with the sync kernel) ----
+            acc0, acc1, navail, wcur, slab, slab_id = wc.refill(
+                (acc0, acc1, navail, wcur, slab, slab_id), words4i,
+                n_slabs, R_T)
 
             win = acc0
             is_dc = k == 0
@@ -177,57 +152,10 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
             if n_banks > 1:
                 tslot = tslot + bank4
 
-            # ---- first-valid code length: static loop over 16 lengths,
-            # scalar table reads broadcast per candidate. ----
-            found = jnp.zeros_like(is_dc)
-            codelen = jnp.ones_like(k)
-            code = jnp.zeros_like(k)
-            base = jnp.zeros_like(k)
-            nrows = 4 * n_banks
-            for li in range(16):
-                cand = (win >> jnp.uint32(31 - li)).astype(jnp.int32)
-                ent = jnp.full(tslot.shape, lentab[nrows - 1, li],
-                               lentab.dtype)
-                for trow in range(nrows - 2, -1, -1):
-                    ent = jnp.where(tslot == trow, lentab[trow, li], ent)
-                maxc1 = (ent >> 15).astype(jnp.int32)
-                b15 = (ent & 0x7FFF).astype(jnp.int32)
-                ok = (cand < maxc1) & ~found
-                codelen = jnp.where(ok, li + 1, codelen)
-                code = jnp.where(ok, cand, code)
-                base = jnp.where(ok, b15, base)
-                found = found | ok
+            codelen, run, size, val, found = wc.decode_symbol(
+                win, tslot, lentab, values, n_banks, R_T,
+                bank4=bank4, bank89=bank89)
             err = err | (active & ~found)
-            sym_idx = (code + base) & 0x7FFF
-
-            # ---- symbol byte from the packed value LUT (one-hot). ----
-            tslot_in_bank = tslot - bank4 if n_banks > 1 else tslot
-            toff = (jnp.where(tslot_in_bank == 0, _VAL_OFFS[0],
-                    jnp.where(tslot_in_bank == 1, _VAL_OFFS[1],
-                    jnp.where(tslot_in_bank == 2, _VAL_OFFS[2],
-                              _VAL_OFFS[3]))))
-            flat_sym = jnp.clip(toff + sym_idx, 0, _VAL_TOTAL - 1)
-            widx = flat_sym >> 2
-            if n_banks > 1:
-                widx = widx + bank89
-            v_oh = (jax.lax.broadcasted_iota(
-                jnp.int32, (R_T, n_banks * _VAL_WORDS, LANE), 1)
-                == widx[:, None, :])
-            vword = jnp.sum(
-                jnp.where(v_oh, values[0][None, :, None].astype(jnp.int32),
-                          0), axis=1)
-            symbol = (vword >> ((flat_sym & 3) << 3)) & 0xFF
-
-            run = symbol >> 4
-            size = symbol & 15
-
-            ext_shift = (32 - codelen - size).astype(jnp.uint32)
-            ext = ((win >> ext_shift)
-                   & ((jnp.uint32(1) << size.astype(jnp.uint32)) - 1)
-                   ).astype(jnp.int32)
-            half = jnp.int32(1) << jnp.maximum(size - 1, 0)
-            val = jnp.where(size == 0, 0,
-                            jnp.where(ext < half, ext - (half << 1) + 1, ext))
 
             # ---- DC path ----
             comp_oh = []
@@ -287,11 +215,10 @@ def build_wave_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
             mcu_rem_next = jnp.where(mcu_done, mcu_rem - 1, mcu_rem)
 
             n_u = (codelen + size).astype(jnp.uint32)
-            acc0n = (acc0 << n_u) | ((acc1 >> 1) >> (31 - n_u))
-            acc1n = acc1 << n_u
+            acc0n, acc1n, navail_n = wc.consume(acc0, acc1, navail, n_u)
             acc0 = jnp.where(active, acc0n, acc0)
             acc1 = jnp.where(active, acc1n, acc1)
-            navail = jnp.where(active, navail - (codelen + size), navail)
+            navail = jnp.where(active, navail_n, navail)
 
             return (acc0, acc1, navail, wcur, slab, slab_id,
                     jnp.where(active, mx_next, mx),

@@ -173,6 +173,10 @@ def _load():
                 ctypes.POINTER(ctypes.POINTER(_RjtIndexJob)),
                 ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
             lib.rjt_index_scan8.restype = ctypes.c_long
+        if hasattr(lib, "rjt_unstuff"):
+            lib.rjt_unstuff.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                                        ctypes.c_void_p]
+            lib.rjt_unstuff.restype = ctypes.c_long
         return lib
     except OSError:
         return None
@@ -504,3 +508,20 @@ def pack_bits(clean: np.ndarray, dense: np.ndarray, word_off: np.ndarray,
         ctypes.c_void_p(np.ascontiguousarray(bit_start, np.int64).ctypes.data),
         ctypes.c_void_p(np.ascontiguousarray(bit_end, np.int64).ctypes.data),
         len(word_off))
+
+
+def unstuff(scan: bytes) -> np.ndarray:
+    """Remove JPEG byte stuffing (0xFF00 -> 0xFF) from a DRI=0 scan.
+    Returns the clean uint8 array (with 8 zero slack bytes of capacity
+    beyond the returned view). Raises BAD_JPEG if a real RSTn marker is
+    embedded. GIL released during the scan."""
+    out = np.zeros(len(scan) + 8, np.uint8)
+    n = int(_lib.rjt_unstuff(scan, len(scan),
+                             ctypes.c_void_p(out.ctypes.data)))
+    if n < 0:
+        raise RocJpegError(Status.BAD_JPEG,
+                           "restart marker embedded in DRI=0 scan")
+    return out[:n]
+
+
+UNSTUFF_AVAILABLE = AVAILABLE and hasattr(_lib, "rjt_unstuff")
