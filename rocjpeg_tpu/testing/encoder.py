@@ -181,6 +181,83 @@ def fdct_quantize(plane: np.ndarray, qtable_nat: np.ndarray) -> np.ndarray:
     return q.reshape(bh, bw, 64)[..., ZIGZAG_ORDER]
 
 
+def _optimal_table(freq: np.ndarray):
+    """Optimal length-limited canonical Huffman table from symbol counts
+    (ITU-T T.81 Annex K.2, the libjpeg jpeg_gen_optimal_table algorithm):
+    returns (bits[16], values[n]). A reserved 257th symbol with count 1
+    guarantees the all-ones code is never assigned (Annex C requirement)."""
+    nsym = len(freq)
+    f = np.zeros(nsym + 1, np.int64)
+    f[:nsym] = freq
+    f[nsym] = 1  # reserved
+    codesize = np.zeros(nsym + 1, np.int32)
+    others = np.full(nsym + 1, -1, np.int32)
+    while True:
+        nz = np.flatnonzero(f > 0)
+        if nz.size < 2:
+            break
+        order = nz[np.lexsort((-nz, f[nz]))]  # lowest count, highest index
+        v1, v2 = int(order[0]), int(order[1])
+        f[v1] += f[v2]
+        f[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    counts = np.zeros(max(33, int(codesize.max()) + 1), np.int32)
+    for cs in codesize[codesize > 0]:
+        counts[cs] += 1
+    # Length-limit to 16 (K.2 adjustment): move pairs up from the longest.
+    for length in range(len(counts) - 1, 16, -1):
+        while counts[length] > 0:
+            j = length - 2
+            while counts[j] == 0:
+                j -= 1
+            counts[length] -= 2
+            counts[length - 1] += 1
+            counts[j + 1] += 2
+            counts[j] -= 1
+    # Drop the reserved symbol from the longest used length.
+    for length in range(16, 0, -1):
+        if counts[length]:
+            counts[length] -= 1
+            break
+    bits = counts[1:17].astype(np.uint8)
+    syms = np.flatnonzero(codesize[:nsym] > 0)
+    values = syms[np.lexsort((syms, codesize[syms]))].astype(np.uint8)
+    assert int(bits.sum()) == len(values)
+    return bits, values
+
+
+def _count_block(dc_freq, ac_freq, block_zz: np.ndarray, dc_pred: int) -> int:
+    """Symbol-frequency twin of _encode_block."""
+    dc = int(block_zz[0])
+    dc_freq[_category(dc - dc_pred)] += 1
+    nz = np.flatnonzero(block_zz[1:])
+    last_nz = (nz[-1] + 1) if nz.size else 0
+    run = 0
+    k = 1
+    while k <= last_nz:
+        v = int(block_zz[k])
+        if v == 0:
+            run += 1
+        else:
+            while run >= 16:
+                ac_freq[0xF0] += 1
+                run -= 16
+            ac_freq[(run << 4) | _category(v)] += 1
+            run = 0
+        k += 1
+    if last_nz < 63:
+        ac_freq[0x00] += 1
+    return dc
+
+
 def encode_coefficients(
         coeff_planes_zz: Sequence[np.ndarray],
         sampling: Sequence[Tuple[int, int]],
@@ -188,7 +265,8 @@ def encode_coefficients(
         qtables_zz: Sequence[np.ndarray],
         qtable_ids: Sequence[int],
         restart_interval: int = 0,
-        table_variant: int = 0) -> bytes:
+        table_variant: int = 0,
+        optimize: bool = False) -> bytes:
     """Assemble a baseline JPEG from zigzag-ordered quantized coefficient
     planes (bh, bw, 64). Plane block dims must be MCU-padded for the given
     sampling layout."""
@@ -216,27 +294,7 @@ def encode_coefficients(
     for i, (h, v) in enumerate(sampling):
         out += bytes([i + 1, (h << 4) | v, qtable_ids[i]])
 
-    # DHT: table id 0 (DC+AC) and, for color, id 1 (same layout).
-    dc_bits, dc_vals, ac_bits, ac_vals, dc_codes, ac_codes = \
-        TABLE_VARIANTS[table_variant]
-    n_tables = 1 if ncomp == 1 else 2
-    for tid in range(n_tables):
-        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(dc_vals)) \
-            + bytes([tid]) + bytes(dc_bits.tolist()) + bytes(dc_vals.tolist())
-        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(ac_vals)) \
-            + bytes([0x10 | tid]) + bytes(ac_bits.tolist()) + bytes(ac_vals.tolist())
-
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-
-    # SOS.
-    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * ncomp + 3, ncomp)
-    for i in range(ncomp):
-        tid = 0 if i == 0 else 1
-        out += bytes([i + 1, (tid << 4) | tid])
-    out += bytes([0, 63, 0])
-
-    # Entropy-coded scan.
+    # Entropy-coded scan plan (needed early for the optimize counting pass).
     interleaved = ncomp > 1
     if interleaved:
         total_mcus = mcus_w * mcus_h
@@ -248,6 +306,56 @@ def encode_coefficients(
         mcus_w = bw_
         total_mcus = bw_ * bh_
         plan = [(0, 0, 0)]
+    n_tables = 1 if ncomp == 1 else 2
+    ri = restart_interval or total_mcus
+
+    if optimize:
+        # Per-image optimal tables (like the reference's bundled corpus —
+        # data/images/mug_*.jpg carry libjpeg-optimized DHTs, not Annex K):
+        # one counting pass, then K.2 table construction per table id.
+        dc_freq = [np.zeros(16, np.int64) for _ in range(n_tables)]
+        ac_freq = [np.zeros(256, np.int64) for _ in range(n_tables)]
+        dc_pred = [0] * ncomp
+        for m in range(total_mcus):
+            if m and m % ri == 0:
+                dc_pred = [0] * ncomp
+            my, mx = divmod(m, mcus_w)
+            for ci, v, u in plan:
+                h_i, v_i = sampling[ci]
+                by, bx = ((my * v_i + v, mx * h_i + u) if interleaved
+                          else (my, mx))
+                tid = 0 if ci == 0 else 1
+                dc_pred[ci] = _count_block(dc_freq[tid], ac_freq[tid],
+                                           coeff_planes_zz[ci][by, bx],
+                                           dc_pred[ci])
+        tables = []
+        for tid in range(n_tables):
+            db, dv = _optimal_table(dc_freq[tid])
+            ab, av = _optimal_table(ac_freq[tid])
+            tables.append((db, dv, ab, av,
+                           _build_codes(db, dv), _build_codes(ab, av)))
+    else:
+        dc_bits, dc_vals, ac_bits, ac_vals, dc_codes, ac_codes = \
+            TABLE_VARIANTS[table_variant]
+        tables = [(dc_bits, dc_vals, ac_bits, ac_vals, dc_codes,
+                   ac_codes)] * n_tables
+
+    # DHT: table id 0 (DC+AC) and, for color, id 1.
+    for tid, (db, dv, ab, av, _dcc, _acc) in enumerate(tables):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(dv)) \
+            + bytes([tid]) + bytes(db.tolist()) + bytes(dv.tolist())
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(av)) \
+            + bytes([0x10 | tid]) + bytes(ab.tolist()) + bytes(av.tolist())
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    # SOS.
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * ncomp + 3, ncomp)
+    for i in range(ncomp):
+        tid = 0 if i == 0 else 1
+        out += bytes([i + 1, (tid << 4) | tid])
+    out += bytes([0, 63, 0])
 
     w = _BitWriter()
     dc_pred = [0] * ncomp
@@ -268,8 +376,9 @@ def encode_coefficients(
                 by, bx = my * v_i + v, mx * h_i + u
             else:
                 by, bx = my, mx
+            t = tables[0 if ci == 0 else 1]
             dc_pred[ci] = _encode_block(w, coeff_planes_zz[ci][by, bx],
-                                        dc_pred[ci], dc_codes, ac_codes)
+                                        dc_pred[ci], t[4], t[5])
     w.pad_to_byte()
     out += w.out
     out += b"\xff\xd9"  # EOI
@@ -285,7 +394,7 @@ def _pad_plane(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
 def encode_planes(planes: Sequence[np.ndarray], css: str,
                   restart_interval: int = 0,
                   qtables_nat: Optional[Sequence[np.ndarray]] = None,
-                  table_variant: int = 0) -> bytes:
+                  table_variant: int = 0, optimize: bool = False) -> bytes:
     """Encode uint8 sample planes (already subsampled: Y at (H, W), chroma at
     the css-appropriate dims) into a baseline JPEG."""
     sampling = SAMPLING[css]
@@ -317,7 +426,7 @@ def encode_planes(planes: Sequence[np.ndarray], css: str,
         qtables_zz = qtables_zz * 2
     return encode_coefficients(coeff_planes, sampling, width, height,
                                qtables_zz, qtable_ids, restart_interval,
-                               table_variant=table_variant)
+                               table_variant=table_variant, optimize=optimize)
 
 
 def random_planes(css: str, width: int, height: int, seed: int = 0):
@@ -329,4 +438,30 @@ def random_planes(css: str, width: int, height: int, seed: int = 0):
     if css != "400":
         planes.append(rng.integers(0, 256, (height // vf, width // hf), np.uint8))
         planes.append(rng.integers(0, 256, (height // vf, width // hf), np.uint8))
+    return planes
+
+
+def photo_planes(css: str, width: int, height: int, seed: int = 0):
+    """Photographic-statistics uint8 planes: textured luma (gradient +
+    moderate noise), smooth low-variance chroma. Uniform-noise planes
+    (random_planes) make luma and chroma streams statistically identical,
+    which defeats Huffman self-synchronization phase-lock (the sync-wave
+    path, ops/sync_entropy.py); real photos — like the reference's bundled
+    mug corpus — carry exactly this luma/chroma asymmetry."""
+    rng = np.random.default_rng(seed)
+    hf, vf = {"444": (1, 1), "440": (1, 2), "422": (2, 1),
+              "420": (2, 2), "411": (4, 1), "400": (1, 1)}[css]
+    yy, xx = np.mgrid[0:height, 0:width]
+    base = (96 + 64 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+            + 0.2 * xx + 0.1 * yy)
+    y = np.clip(base + rng.normal(0, 28, (height, width)), 0,
+                255).astype(np.uint8)
+    planes = [y]
+    if css != "400":
+        ch, cw = height // vf, width // hf
+        cy, cx = np.mgrid[0:ch, 0:cw]
+        for phase in (0.0, 2.0):
+            c = 128 + 24 * np.sin(cx / 31.0 + phase) * np.cos(cy / 29.0)
+            c = np.clip(c + rng.normal(0, 2.5, (ch, cw)), 0, 255)
+            planes.append(c.astype(np.uint8))
     return planes
