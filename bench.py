@@ -105,7 +105,14 @@ def run_config(name, decoder, datas, params, iters, n_threads, w=None, h=None,
         for ch in img.channel:
             if ch is not None and hasattr(ch, "block_until_ready"):
                 ch.block_until_ready()
-    print(f"[{name}] warmup done", file=sys.stderr)
+    # Entropy-path visibility: which path served each chunk (the round-3
+    # sync regression shipped invisibly; every recorded number now names
+    # its path).
+    path_counts = {}
+    for p, idxs in decoder.last_paths:
+        path_counts[p] = path_counts.get(p, 0) + len(idxs)
+    print(f"[{name}] warmup done; entropy paths (imgs): {path_counts}",
+          file=sys.stderr)
 
     lasts = [None] * max(1, n_threads)
 
@@ -202,6 +209,54 @@ def run_leg_subprocess(leg: str, reps: int = None) -> float:
     return med
 
 
+def check_regressions(result: dict, threshold: float = 0.8) -> bool:
+    """Non-regression gate: compare every per-leg figure against the most
+    recent recorded round (BENCH_r*.json at the repo root) and print a LOUD
+    table to stderr when any leg fell below ``threshold`` x its previous
+    value. Exists because round 3 committed a 6-26x regression on two legs
+    silently (see VERDICT round 3 / docs/performance.md); a regression can
+    no longer ship without announcing itself in every bench run. Returns
+    True when a regression was detected."""
+    import glob
+    import re
+    root = os.path.dirname(os.path.abspath(__file__))
+    prevs = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
+                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if not prevs:
+        return False
+    try:
+        with open(prevs[-1]) as f:
+            prev = json.load(f).get("parsed") or {}
+    except Exception:
+        return False
+    legs = [("headline", "value", "value"),
+            ("dri0", "dri0_mpix_s", "dri0_mpix_s"),
+            ("mug", "mug420_mpix_s", "mug420_mpix_s"),
+            ("mixed", "mixed_mpix_s", "mixed_mpix_s")]
+    rows = []
+    regressed = False
+    for name, new_k, old_k in legs:
+        new_v, old_v = result.get(new_k), prev.get(old_k)
+        if new_v is None or not old_v:
+            continue
+        ratio = new_v / old_v
+        flag = "REGRESSION" if ratio < threshold else "ok"
+        regressed = regressed or ratio < threshold
+        rows.append(f"  {name:<10} {old_v:>9.1f} -> {new_v:>9.1f} Mpix/s "
+                    f"({ratio:5.2f}x)  {flag}")
+    src = os.path.basename(prevs[-1])
+    print(f"[regression gate] vs {src}:", file=sys.stderr)
+    for r in rows:
+        print(r, file=sys.stderr)
+    if regressed:
+        print("!" * 72, file=sys.stderr)
+        print("!! BENCH REGRESSION vs previous round — do not commit this "
+              "as-is without a written justification (see gate above).",
+              file=sys.stderr)
+        print("!" * 72, file=sys.stderr)
+    return regressed
+
+
 def main():
     # Headline config: batches of 4K (3840x2160) images — the resolution of
     # the reference's bundled corpus (data/images/mug_*.jpg).
@@ -242,6 +297,7 @@ def main():
             result["mug420_mpix_s"] = round(mug, 1)
         mixed = run_leg_subprocess("mixed")
         result["mixed_mpix_s"] = round(mixed, 1)
+        check_regressions(result)
         print(json.dumps(result))
         return
 

@@ -134,6 +134,17 @@ class Decoder:
     def last_error_flags(self, flags: list) -> None:
         self._tls.error_flags = flags
 
+    @property
+    def last_paths(self) -> list:
+        """Per-chunk (path, batch_indices) pairs from the calling thread's
+        most recent decode_batched call. ``path`` is one of ``'host'`` (host
+        entropy decode + coefficient upload), ``'wave'`` (device wave over
+        real restart lanes), ``'wave-virtual'`` (host index walk + virtual
+        restarts), ``'sync'`` / ``'sync+host-retry'`` (device sync pass).
+        Lets tools and benches report which entropy path served each group
+        alongside every recorded number."""
+        return getattr(self._tls, "paths", [])
+
     def last_failed_indices(self) -> list:
         """Batch indices of images whose scans the on-device wave flagged
         as corrupt in the calling thread's most recent decode_batched call.
@@ -306,6 +317,7 @@ class Decoder:
         results: List[Optional[DecodedImage]] = [None] * len(streams)
         err_flags = []
         err_lanes = []  # (err, lane_img, global idxs) per device-path chunk
+        paths = []      # (entropy path, global idxs) per chunk
         # jax.default_device carries measurable per-call overhead; only pay
         # it when targeting a non-default device.
         import contextlib
@@ -341,6 +353,8 @@ class Decoder:
                     try:
                         per_image, err, lane_img = decode_group_device_entropy(
                             plist, fmt, crop, virtual_k=vk)
+                        from .pipeline import last_entropy_path
+                        paths.append((last_entropy_path(), idxs))
                         err_flags.append(err)
                         err_lanes.append((err, lane_img, idxs))
                         with self._lock:
@@ -355,6 +369,7 @@ class Decoder:
                             raise
                         per_image = None
                 if per_image is None:
+                    paths.append(("host", idxs))
                     coeffs = host_decode.decode_coefficients_batch(plist)
                     per_image = decode_group(plist, coeffs, fmt, crop)
                     # Host-path submissions never sync in this call, so they
@@ -373,6 +388,7 @@ class Decoder:
         # every group has been dispatched asynchronously.
         self.last_error_flags = err_flags
         self._tls.error_lanes = err_lanes
+        self._tls.paths = paths
         if self._check_errors and err_flags:
             import numpy as np
             if any(bool(np.asarray(e).any()) for e in err_flags):

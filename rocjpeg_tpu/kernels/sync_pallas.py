@@ -55,7 +55,8 @@ _VAL_WORDS = wc.VAL_WORDS
 
 @functools.lru_cache(maxsize=32)
 def build_sync_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
-                      interpret: bool = False, n_banks: int = 1):
+                      interpret: bool = False, n_banks: int = 1,
+                      overshoot_bits: int = 4096):
     """Compile the sync-pass kernel for one static geometry.
 
     Returns fn(words(R,n_words,128) u32, abs0(R,128) i32, a_t(R,128) i32,
@@ -121,6 +122,17 @@ def build_sync_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
              slot, k, dc_pred, mcu_cnt, sym_cnt,
              found, g, end, spm, sps, dco, done, erri) = carry
             active = (done == 0) & (erri == 0)
+
+            # Bit-window exhaustion: a refill past n_words would silently
+            # yield zero bits (the one-hot slab select sums to 0 out of
+            # range) and the lane would "decode" fabricated symbols with
+            # status 0 — flag it as an error instead. Active lanes must
+            # stop (real MCU boundary) before their window runs out; only
+            # lost lanes ever get here, and flagging them makes the chain
+            # check fail so the group falls back to the host walk rather
+            # than emitting corrupt output (advisor r3, high).
+            erri = jnp.where(active & (navail <= 32) & (wcur >= n_words),
+                             jnp.int32(1), erri)
 
             acc0, acc1, navail, wcur, slab, slab_id = wc.refill(
                 (acc0, acc1, navail, wcur, slab, slab_id), words4i,
@@ -193,7 +205,14 @@ def build_sync_kernel(geom, n_lanes: int, n_words: int, max_steps: int,
             # ---- events at a completed MCU (priority: stop > record) ----
             mcu_cnt = jnp.where(mcu_done & (found == 1), mcu_cnt + 1,
                                 mcu_cnt)
-            stop = mcu_done & (found == 1) & (abs_now >= b_t)
+            # A stop further than OVERSHOOT_BITS past its target would
+            # overflow the pass-B emission window (sized CB*8 + OVERSHOOT);
+            # flag instead of recording a span pass B would truncate
+            # (advisor r3, high).
+            past_b = mcu_done & (abs_now >= b_t)
+            over = past_b & (abs_now - b_t > overshoot_bits)
+            erri = jnp.where(over & (found == 1), jnp.int32(1), erri)
+            stop = past_b & (found == 1) & ~over
             gev = mcu_done & (found == 0) & (abs_now >= a_t)
             # Degenerate empty span: the chunk holds no MCU boundary.
             dstop = gev & (abs_now >= b_t)

@@ -20,6 +20,16 @@ speculative walk, and truly corrupt streams always fail — fall back to the
 host-walk path per image; a consecutive-failure memo disables the sync
 attempt for corpora that keep failing (see :func:`record_outcome`).
 
+Content sensitivity (measured, round 4): self-synchronization depends on
+the HUFFMAN TABLES, not just the content. Streams encoded with per-image
+OPTIMIZED tables (like the reference's bundled mug corpus) sync within the
+default margin; the Annex-K default tables phase-lock persistently on
+synthetic photographic content — a bit-shifted walk stays valid
+indefinitely and EVERY lane fails the chain proof (only healable one lane
+per fixup round). This is a second reason — besides the measured 6-10x
+round-3 slowdown — that the sync path is opt-in: its win is content-
+conditional, while the host walk is not.
+
 Reference context: the reference forwards restart metadata to the VCN ASIC
 (src/rocjpeg_parser.cpp:374-390) and has no path at all for intra-image
 parallelism on DRI=0 scans; this subsystem has no counterpart there.
@@ -69,7 +79,9 @@ def min_scan_bytes() -> int:
 
 
 _fail_memo: dict = {}
+_fail_lock = __import__("threading").Lock()
 _FAIL_LIMIT = 2
+_MEMO_MAX = 256
 
 
 def _memo_key(p: JpegStreamParams):
@@ -77,20 +89,36 @@ def _memo_key(p: JpegStreamParams):
             len(p.slice_data) >> 16)
 
 
-def record_outcome(p0: JpegStreamParams, ok_frac: float) -> None:
-    """Track consecutive mostly-failed sync attempts per corpus signature;
-    after _FAIL_LIMIT the sync path stops trying for that signature (the
-    host-walk path serves it without paying the failed sync pass first)."""
-    k = _memo_key(p0)
-    if ok_frac >= 0.5:
-        _fail_memo.pop(k, None)
-    else:
-        _fail_memo[k] = _fail_memo.get(k, 0) + 1
+def record_outcome(params_list, ok) -> None:
+    """Track consecutive failed sync attempts per *image* signature; after
+    _FAIL_LIMIT consecutive failures the sync path stops trying for that
+    signature (the host-walk path serves it without paying the failed sync
+    pass first). ``ok`` is the per-image chain-proof verdict (bool array
+    aligned with params_list). Thread-safe and bounded: decoder threads
+    mutate the memo concurrently, and signatures are evicted FIFO past
+    _MEMO_MAX so a long-lived process cannot grow it without bound."""
+    with _fail_lock:
+        for p, good in zip(params_list, ok):
+            k = _memo_key(p)
+            if good:
+                _fail_memo.pop(k, None)
+            else:
+                _fail_memo[k] = _fail_memo.get(k, 0) + 1
+                while len(_fail_memo) > _MEMO_MAX:
+                    _fail_memo.pop(next(iter(_fail_memo)))
 
 
 def enabled(params_list: Sequence[JpegStreamParams]) -> bool:
-    mode = os.environ.get("ROCJPEG_TPU_SYNC", "auto")
-    if mode == "off":
+    """Whether the device sync pass should attempt this group.
+
+    Gated OFF by default (``ROCJPEG_TPU_SYNC=off``): round-3 on-chip A/B
+    measured the sync pass at ~6-10x slower than the host index walk it
+    replaces on the realistic DRI=0 corpora (dri0 1428 vs 222 Mpix/s, mug
+    192.6 vs 19.6 — see docs/performance.md), so it must be opted into
+    (``on`` forces it, ``auto`` applies the eligibility heuristics) until
+    it beats the host walk."""
+    mode = os.environ.get("ROCJPEG_TPU_SYNC", "off")
+    if mode not in ("on", "auto"):
         return False
     if de.wave_backend() == "jnp" and mode != "on":
         return False
@@ -101,8 +129,10 @@ def enabled(params_list: Sequence[JpegStreamParams]) -> bool:
     lo = min_scan_bytes()
     if any(len(p.slice_data) < lo for p in params_list):
         return False
-    if _fail_memo.get(_memo_key(params_list[0]), 0) >= _FAIL_LIMIT:
-        return False
+    with _fail_lock:
+        sigs = {_memo_key(p) for p in params_list}
+        if all(_fail_memo.get(s, 0) >= _FAIL_LIMIT for s in sigs):
+            return False
     return True
 
 
@@ -161,11 +191,16 @@ def _merge8(n_lanes: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _glue(n_lanes: int, B: int, batch: int, total_mcus: int, Lmax: int):
+def _glue(n_lanes: int, B: int, batch: int, total_mcus: int, Lmax: int,
+          span_max_bits: int):
     """Jitted post-sync bookkeeping: chain validation, segmented cumsums
     (absolute MCU index + DC predictor entering each span), the
     (batch, total_mcus) lane-of-MCU map for the DC fixup, and the single
-    (B+1,) fetch vector [ok_img..., max_span_syms]."""
+    (B+1,) fetch vector [ok_img..., max_span_syms].
+
+    span_max_bits: hard bound any recorded span must fit (the pass-B
+    emission window); a longer span means a lost lane slipped through and
+    the image is rejected rather than silently truncated (advisor r3)."""
 
     @jax.jit
     def f(g, end, spm, sps, dc0, dc1, dc2, status,
@@ -175,7 +210,7 @@ def _glue(n_lanes: int, B: int, batch: int, total_mcus: int, Lmax: int):
         next_g = jnp.roll(g, -1)
         ok_lane = jnp.where(
             v,
-            (status == 0) & jnp.where(
+            (status == 0) & (end - g <= span_max_bits) & jnp.where(
                 is_last == 1,
                 (end >= stream_b7) & (end <= stream_b7 + 7),
                 end == next_g),
@@ -339,7 +374,8 @@ def decode_coefficients_sync(params_list: Sequence[JpegStreamParams],
 
     backend = de.wave_backend()
     # The sync kernel has no jnp twin: off-TPU it runs under the Pallas
-    # interpreter (tests force this; 'jnp' + ROCJPEG_TPU_SYNC=on does too).
+    # interpreter (tests/test_sync_entropy.py forces this via
+    # ROCJPEG_TPU_SYNC=on under the CPU backend).
     interpret = backend != "pallas"
 
     def lanes2(a):
@@ -353,7 +389,7 @@ def decode_coefficients_sync(params_list: Sequence[JpegStreamParams],
     max_steps_a = (CB + MB) * 8 + OVERSHOOT_BITS + 256
     sync_fn = sync_pallas.build_sync_kernel(
         geom, n_lanes, n_words_a, max_steps_a, interpret=interpret,
-        n_banks=n_banks)
+        n_banks=n_banks, overshoot_bits=OVERSHOOT_BITS)
     outs = sync_fn(words_a, lanes2(abs0), lanes2(a_t), lanes2(b_t),
                    tables.lentab, tables.values, *bank_args)
 
@@ -371,9 +407,16 @@ def decode_coefficients_sync(params_list: Sequence[JpegStreamParams],
                       tables.lentab, tables.values, *bank_args)
         outs = _merge8(n_lanes)(redo, outs, new)
 
+    # Any recorded span must fit the pass-B window (the sync kernel enforces
+    # end <= b_t + OVERSHOOT_BITS, and g >= a_t with b_t - a_t <= CB*8).
+    span_max_bits = CB * 8 + OVERSHOOT_BITS
+    n_words_b = -(-(span_max_bits + 63) // 32) + 2
+    n_words_b = -(-n_words_b // 8) * 8
+
     flat = [x.reshape(-1) for x in outs]
     fetch, mcu_start, mcu_count, dc_flat, lom, word_off_b, skip = _glue(
-        n_lanes, B, batch, total, Lmax)(
+        n_lanes, B, batch, total, Lmax, min(span_max_bits,
+                                            32 * n_words_b - 64))(
         *flat, valid, is_last, stream_b7, img_of,
         lane_starts[:B].astype(np.int32), lane_mat, word_base_l)
 
@@ -382,15 +425,24 @@ def decode_coefficients_sync(params_list: Sequence[JpegStreamParams],
     fetch_np = np.asarray(fetch)
     ok = fetch_np[:B].astype(bool)
     max_syms = int(fetch_np[B])
-    record_outcome(p0, float(ok.mean()) if B else 1.0)
-    if max_syms <= 0:
+    # Emission-buffer bound (advisor r3, medium): fixed-byte chunks are not
+    # symbol-balanced, so a low-entropy stream can put tens of thousands of
+    # symbols in one span — and the wave's (max_steps, R, 128) idx/val
+    # buffers scale with it (6 bytes per step per lane). Cap the HBM the
+    # emission pass may allocate; groups past the cap are rejected to the
+    # host-walk path (which symbol-balances its lanes) instead of risking
+    # a multi-GB allocation / OOM.
+    cap = _env_int("ROCJPEG_TPU_SYNC_MAX_SYMS", 0) \
+        or max(2048, (384 << 20) // (6 * n_lanes))
+    if max_syms > cap:
+        ok[:] = False
+    record_outcome(params_list, ok)
+    if max_syms <= 0 or not ok.any():
         err = jnp.zeros(n_lanes, jnp.bool_)
         return (None, err, geom, None, None, ok, img_of)
 
     # ---- pass B: the unmodified emission wave over the proven spans ----
     max_steps = _bucket256(max_syms)
-    n_words_b = -(-(CB * 8 + OVERSHOOT_BITS + 63) // 32) + 2
-    n_words_b = -(-n_words_b // 8) * 8
     words_b = _expand_shifted(R, n_words_b)(dense, lanes2(word_off_b),
                                             lanes2(skip))
     out_size = batch * geom.total_blocks * 64

@@ -20,6 +20,7 @@ also has a Pallas implementation in rocjpeg_tpu/kernels/ selected by
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -35,6 +36,18 @@ from .types import (ChromaSubsampling, CropRectangle, LazyChannel,
                     OutputFormat)
 
 CSS = ChromaSubsampling
+
+_tls = threading.local()
+
+
+def last_entropy_path() -> str:
+    """Entropy path taken by the calling thread's most recent
+    :func:`decode_group_device_entropy` call: ``'wave'`` (real restart
+    lanes), ``'wave-virtual'`` (host index walk + virtual restarts),
+    ``'sync'`` (device sync pass), or ``'sync+host-retry'`` (sync pass with
+    per-image host-walk redecode of chain-proof rejects). Benches and tools
+    report this so path selection is visible in every recorded number."""
+    return getattr(_tls, "path", "?")
 
 
 def _plane_from_coeffs(coeffs, quant):
@@ -288,6 +301,7 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     mcu_range = _roi_mcu_range(p0, crop)
     coeffs_flat = None
     sub_results = None  # host-walk redecode of sync-rejected images
+    _tls.path = "wave"
     if virtual_k and not _no_sync and mcu_range is None:
         # Device-side virtual restarts: the sync pass discovers the entry
         # state on-chip (ops/sync_entropy.py) — no host index walk at all.
@@ -301,13 +315,16 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
             if s_coeffs is not None:
                 coeffs_flat, err, geom = s_coeffs, s_err, s_geom
                 dc_flat, lane_of_mcu = s_dc, s_lom
+                _tls.path = "sync"
             if bad and s_coeffs is not None:
                 sub_results = (bad, decode_group_device_entropy(
                     [params_list[i] for i in bad], output_format, crop,
                     virtual_k=virtual_k, _no_sync=True))
+                _tls.path = "sync+host-retry"
             # All images rejected: fall through to the host walk wholesale.
     if coeffs_flat is None:
         if virtual_k:
+            _tls.path = "wave-virtual"
             packed, dc_flat, lane_of_mcu = de.pack_virtual_segments(
                 params_list, total_blocks, virtual_k, mcu_range=mcu_range,
                 bank_of=bank_of)
