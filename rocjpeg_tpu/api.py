@@ -42,6 +42,46 @@ from .types import spec_for_device as types_spec_for_device
 CSS = ChromaSubsampling
 
 
+def write_channel_into(arr, dest, pitch: int) -> None:
+    """Copy one decoded channel into a caller buffer honoring the caller's
+    pitch — CopyChannel semantics (src/rocjpeg_decoder.cpp:372-399), host
+    side. ``dest`` is a writable numpy buffer or a raw pointer integer (the
+    C ABI path); ``pitch`` is the destination row pitch in bytes."""
+    import ctypes
+
+    import numpy as np
+
+    src = np.ascontiguousarray(np.asarray(arr))
+    if src.ndim == 1:
+        src = src[None, :]
+    h, row_bytes = src.shape[0], src.shape[1] * src.itemsize
+    if pitch < row_bytes:
+        raise RocJpegError(Status.INVALID_PARAMETER,
+                           f"destination pitch {pitch} < row size {row_bytes}")
+    if isinstance(dest, (int, np.integer)):
+        base = int(dest)
+        if pitch == row_bytes:
+            ctypes.memmove(base, src.ctypes.data, h * row_bytes)
+        else:
+            for r in range(h):
+                ctypes.memmove(base + r * pitch,
+                               src.ctypes.data + r * row_bytes, row_bytes)
+    elif isinstance(dest, np.ndarray):
+        if not dest.flags.writeable:
+            raise RocJpegError(Status.INVALID_PARAMETER,
+                               "destination buffer is read-only")
+        flat = dest.reshape(-1).view(np.uint8)
+        need = (h - 1) * pitch + row_bytes
+        if flat.nbytes < need:
+            raise RocJpegError(Status.INVALID_PARAMETER,
+                               f"destination buffer {flat.nbytes}B < {need}B")
+        rows = np.lib.stride_tricks.as_strided(
+            flat, shape=(h, row_bytes), strides=(pitch, 1), subok=False)
+        rows[:] = src.view(np.uint8).reshape(h, row_bytes)
+    else:
+        raise RocJpegError(Status.INVALID_PARAMETER, "null destination channel")
+
+
 class JpegStream:
     """A parsed-JPEG session handle (RocJpegStreamHandle analog)."""
 
@@ -278,6 +318,52 @@ class Decoder:
         """rocJpegDecode analog. Returns a DecodedImage whose channels are
         device (JAX) arrays; use np.asarray to fetch to host."""
         return self.decode_batched([stream], params)[0]
+
+    def decode_into(self, streams, dests,
+                    params: Optional[DecodeParams] = None) -> None:
+        """Decode into CALLER-ALLOCATED destination buffers — the
+        reference's core output contract (``RocJpegImage``,
+        api/rocjpeg.h:104-107): the caller owns the memory and hands the
+        decoder per-channel buffers plus row pitches; the decoder writes
+        each decoded plane honoring the pitch (copy semantics of
+        src/rocjpeg_decoder.cpp:372-399, here host-side since the TPU is
+        reached through JAX rather than pointer-visible VRAM).
+
+        Accepts a single (stream, dest) pair or parallel sequences. Each
+        dest is a :class:`~rocjpeg_tpu.types.DecodedImage` (or any object
+        with ``channel``/``pitch`` lists) whose ``channel[ci]`` is a
+        preallocated writable numpy buffer — or a raw pointer integer for
+        C callers — and ``pitch[ci]`` the caller's row pitch in bytes
+        (>= the row size; larger pitches leave the slack bytes untouched,
+        exactly like hipMemcpy2D with dpitch > width).
+
+        Raises RocJpegError(INVALID_PARAMETER) when channel 0 is missing,
+        a pitch is below the row size, or a numpy buffer is too small for
+        ``(rows - 1) * pitch + row_bytes``. Channels the caller did not
+        allocate (None) are skipped, except channel 0.
+        """
+        single = isinstance(streams, JpegStream)
+        if single:
+            streams, dests = [streams], [dests]
+        if len(dests) != len(streams):
+            raise RocJpegError(Status.INVALID_PARAMETER,
+                               "streams/dests length mismatch")
+        images = self.decode_batched(list(streams), params)
+        from .types import MAX_COMPONENT
+        for img, dest in zip(images, dests):
+            chans = dest.channel
+            pitches = dest.pitch
+            for ci in range(MAX_COMPONENT):
+                if img.channel[ci] is None:
+                    continue
+                d = chans[ci] if ci < len(chans) else None
+                null_ptr = isinstance(d, int) and d == 0
+                if d is None or null_ptr:
+                    if ci == 0:
+                        raise RocJpegError(Status.INVALID_PARAMETER,
+                                           "null destination channel 0")
+                    continue
+                write_channel_into(img.channel[ci], d, int(pitches[ci]))
 
     def decode_batched(self, streams: Sequence[JpegStream],
                        params: Optional[DecodeParams] = None

@@ -24,7 +24,6 @@ status code (``src/rocjpeg_api.cpp:168-174``).
 
 from __future__ import annotations
 
-import ctypes
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -122,35 +121,9 @@ def get_image_info(handle: api.Decoder, stream: api.JpegStream
         return _capture(handle, e), 0, int(ChromaSubsampling.CSS_UNKNOWN), zero4, zero4
 
 
-def _write_channel(arr, dest: Dest, pitch: int) -> None:
-    """Copy one decoded channel into a caller buffer honoring the caller's
-    pitch — CopyChannel semantics (src/rocjpeg_decoder.cpp:372-399), host-side."""
-    src = np.ascontiguousarray(np.asarray(arr))
-    if src.ndim == 1:
-        src = src[None, :]
-    h, row_bytes = src.shape[0], src.shape[1] * src.itemsize
-    if pitch < row_bytes:
-        raise RocJpegError(Status.INVALID_PARAMETER,
-                           f"destination pitch {pitch} < row size {row_bytes}")
-    if isinstance(dest, (int, np.integer)):
-        base = int(dest)
-        if pitch == row_bytes:
-            ctypes.memmove(base, src.ctypes.data, h * row_bytes)
-        else:
-            for r in range(h):
-                ctypes.memmove(base + r * pitch, src.ctypes.data + r * row_bytes,
-                               row_bytes)
-    elif isinstance(dest, np.ndarray):
-        flat = dest.reshape(-1).view(np.uint8)
-        need = (h - 1) * pitch + row_bytes
-        if flat.nbytes < need:
-            raise RocJpegError(Status.INVALID_PARAMETER,
-                               f"destination buffer {flat.nbytes}B < {need}B")
-        rows = np.lib.stride_tricks.as_strided(
-            flat, shape=(h, row_bytes), strides=(pitch, 1), subok=False)
-        rows[:] = src.view(np.uint8).reshape(h, row_bytes)
-    else:
-        raise RocJpegError(Status.INVALID_PARAMETER, "null destination channel")
+# Pitch-honoring channel write: shared with the object API's decode_into
+# (one implementation of the reference's CopyChannel semantics).
+_write_channel = api.write_channel_into
 
 
 def _params_from_plain(output_format: int, crop: Sequence[int]) -> DecodeParams:
@@ -179,23 +152,21 @@ def decode_batched(handle: api.Decoder, streams: Sequence[api.JpegStream],
             or len(dest_pitches) != len(streams)):
         return Status.INVALID_PARAMETER
     try:
+        from .types import DecodedImage
         params = _params_from_plain(output_format, crop)
-        images = handle.decode_batched(list(streams), params)
-        for img, chans, pitches in zip(images, dest_channels, dest_pitches):
-            for ci in range(MAX_COMPONENT):
-                if img.channel[ci] is None:
-                    continue
-                dest = chans[ci] if ci < len(chans) else None
-                if dest is None or (isinstance(dest, (int, np.integer))
-                                    and int(dest) == 0):
-                    # Reference writes only the channels the caller allocated;
-                    # a null channel pointer for a produced plane is caller
-                    # error only if it's the primary channel.
-                    if ci == 0:
-                        raise RocJpegError(Status.INVALID_PARAMETER,
-                                           "null destination channel 0")
-                    continue
-                _write_channel(img.channel[ci], dest, int(pitches[ci]))
+        dests = []
+        for chans, pitches in zip(dest_channels, dest_pitches):
+            d = DecodedImage.empty()
+            for ci in range(min(MAX_COMPONENT, len(chans))):
+                c = chans[ci]
+                # Null pointer ints mean "caller did not allocate this
+                # plane" (reference writes only caller-allocated channels).
+                if isinstance(c, (int, np.integer)) and int(c) == 0:
+                    c = None
+                d.channel[ci] = c
+                d.pitch[ci] = int(pitches[ci]) if ci < len(pitches) else 0
+            dests.append(d)
+        handle.decode_into(list(streams), dests, params)
         return Status.SUCCESS
     except Exception as e:
         return _capture(handle, e)
