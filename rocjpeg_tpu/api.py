@@ -100,6 +100,10 @@ class JpegStream:
 
     @property
     def params(self) -> JpegStreamParams:
+        """Parsed stream parameters (rocJpegGetImageInfo source data):
+        dimensions, component sampling factors, quant/Huffman tables,
+        restart interval, and the entropy-coded scan span. Raises if the
+        stream has not been parsed yet."""
         return self._parser.params
 
 

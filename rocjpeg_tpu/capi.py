@@ -68,6 +68,8 @@ def get_last_error(handle) -> str:
 # Stream functions (rocJpegStreamCreate/Parse/Destroy, api.cpp:41-96)
 
 def stream_create() -> Tuple[Status, Optional[api.JpegStream]]:
+    """rocJpegStreamCreate analog (api.cpp:41-52): returns
+    (SUCCESS, empty stream handle); (NOT_INITIALIZED, None) on failure."""
     try:
         return Status.SUCCESS, api.JpegStream()
     except Exception:
@@ -75,6 +77,10 @@ def stream_create() -> Tuple[Status, Optional[api.JpegStream]]:
 
 
 def stream_parse(stream: api.JpegStream, data: bytes) -> Status:
+    """rocJpegStreamParse analog (api.cpp:68-82): parse ``data`` into the
+    handle. Returns BAD_JPEG on malformed input, INVALID_PARAMETER on null
+    arguments; the error text is captured on the handle (see
+    :func:`get_last_error`)."""
     if stream is None or data is None:
         return Status.INVALID_PARAMETER
     try:
@@ -85,7 +91,9 @@ def stream_parse(stream: api.JpegStream, data: bytes) -> Status:
 
 
 def stream_destroy(stream: api.JpegStream) -> Status:
-    # Resources are GC-owned; this exists for call-site parity.
+    """rocJpegStreamDestroy analog (api.cpp:88-96). Resources are GC-owned;
+    this exists for call-site parity (INVALID_PARAMETER on None, SUCCESS
+    otherwise)."""
     return Status.INVALID_PARAMETER if stream is None else Status.SUCCESS
 
 
@@ -103,6 +111,8 @@ def create(backend: int = int(Backend.HARDWARE), device_id: int = 0,
 
 
 def destroy(handle: api.Decoder) -> Status:
+    """rocJpegDestroy analog (api.cpp:126-132). Resources are GC-owned;
+    INVALID_PARAMETER on None, SUCCESS otherwise."""
     return Status.INVALID_PARAMETER if handle is None else Status.SUCCESS
 
 

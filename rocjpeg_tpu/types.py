@@ -79,10 +79,12 @@ class CropRectangle:
 
     @property
     def width(self) -> int:
+        """Crop width in pixels (``right - left``)."""
         return self.right - self.left
 
     @property
     def height(self) -> int:
+        """Crop height in pixels (``bottom - top``)."""
         return self.bottom - self.top
 
 
@@ -127,18 +129,22 @@ class LazyChannel:
         return np.asarray(self._resolve(), dtype=dtype)
 
     def block_until_ready(self):
+        """Block until the underlying device computation finishes (the
+        jax.Array method, forwarded)."""
         target = self._arr if self._arr is not None else self._batch
         target.block_until_ready()
         return self
 
     @property
     def shape(self):
+        """Shape of this image's channel (batch axis stripped)."""
         if self._arr is not None:
             return self._arr.shape
         return self._batch.shape[1:]
 
     @property
     def dtype(self):
+        """Element dtype (uint8 for all output formats)."""
         return (self._arr if self._arr is not None else self._batch).dtype
 
     def __getitem__(self, key):
@@ -164,6 +170,8 @@ class DecodedImage:
 
     @classmethod
     def empty(cls) -> "DecodedImage":
+        """A DecodedImage with all channels None and pitches 0 (the caller
+        fills channels/pitches, e.g. for ``Decoder.decode_into``)."""
         return cls(channel=[None] * MAX_COMPONENT, pitch=[0] * MAX_COMPONENT)
 
 
