@@ -293,6 +293,48 @@ def test_memo_is_per_signature(sync_env):
     assert sync_entropy.enabled([pa, pb])
 
 
+def test_concurrent_mixed_corpora_stable_paths(sync_env):
+    """Decoder threads racing a sync-eligible corpus (optimized tables)
+    against a sync-ineligible one (too-small scans) must keep path
+    selection stable per call and stay bit-exact — the memo is shared
+    mutable state between them (verdict r3 item 8)."""
+    import threading
+
+    eligible = _photo_dri0(seed=41)
+    flat = [np.full((64, 64), 128, np.uint8), np.full((32, 32), 128,
+                                                      np.uint8),
+            np.full((32, 32), 128, np.uint8)]
+    small = encoder.encode_planes(flat, "420", restart_interval=0)
+    assert len(JpegStreamParser().parse(small).slice_data) < 1024  # < MIN
+    want_e = golden.decode(eligible, OutputFormat.NATIVE)
+    want_s = golden.decode(small, OutputFormat.NATIVE)
+    dec = api.Decoder(device_entropy="on")
+    failures = []
+
+    def worker(blob, want, expect_paths):
+        try:
+            for _ in range(3):
+                img = dec.decode(api.JpegStream(blob))
+                got = [p for p, _ in dec.last_paths]
+                assert got[0] in expect_paths, got
+                for ci, (g_arr, _) in enumerate(want):
+                    np.testing.assert_array_equal(
+                        np.asarray(img.channel[ci]), g_arr)
+        except Exception as exc:  # pragma: no cover - failure reporting
+            failures.append(exc)
+
+    ts = [threading.Thread(target=worker,
+                           args=(eligible, want_e, ("sync",))),
+          threading.Thread(target=worker,
+                           args=(small, want_s,
+                                 ("wave-virtual", "host")))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not failures, failures
+
+
 def test_memo_bounded(sync_env):
     base = JpegStreamParser().parse(_photo_dri0(seed=23))
     for i in range(sync_entropy._MEMO_MAX + 50):
