@@ -187,21 +187,41 @@ def run_leg_subprocess(leg: str, reps: int = None) -> float:
     import subprocess
     if reps is None:
         reps = int(os.environ.get("BENCH_REPS", "3"))
+    # The tunneled runtime occasionally wedges a process mid-decode (device
+    # queue stall at ~0% CPU, observed round 4); a hung rep must not hang
+    # the whole bench. Each rep gets a hard timeout and one retry.
+    timeout_s = int(os.environ.get("BENCH_REP_TIMEOUT", "900"))
     env = dict(os.environ)
     env["BENCH_LEG"] = leg
     values = []
     for rep in range(reps):
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True)
-        sys.stderr.write(out.stderr)
         got = None
-        for line in out.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                got = float(json.loads(line)["value"])
+        for attempt in range(2):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True,
+                    timeout=timeout_s)
+            except subprocess.TimeoutExpired as exc:
+                sys.stderr.write((exc.stderr or b"").decode()
+                                 if isinstance(exc.stderr, bytes)
+                                 else (exc.stderr or ""))
+                print(f"[{leg}] rep {rep} attempt {attempt} timed out "
+                      f"after {timeout_s}s; retrying" if attempt == 0 else
+                      f"[{leg}] rep {rep} timed out twice", file=sys.stderr)
+                continue
+            sys.stderr.write(out.stderr)
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    got = float(json.loads(line)["value"])
+            if got is not None:
+                break
+            print(f"[{leg}] rep {rep} attempt {attempt} produced no result "
+                  f"(exit {out.returncode})", file=sys.stderr)
         if got is None:
             raise RuntimeError(f"bench leg {leg} rep {rep} produced no "
-                               f"result (exit {out.returncode})")
+                               f"result after retries")
         values.append(got)
     med = float(np.median(values))
     print(f"[{leg}] median of {reps} runs: {med:.1f} Mpix/s "
