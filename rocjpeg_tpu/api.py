@@ -160,8 +160,13 @@ class Decoder:
         # waiting for the device, but keeps at most ``max_inflight`` wave
         # submissions outstanding (deeper queues can stall the runtime
         # scheduler; two is enough to fully overlap host and device work).
+        # ``_outstanding`` counts DISPATCHED programs, reserved before the
+        # dispatch happens — a reservation, not a post-hoc append — so the
+        # bound holds under concurrent callers (two threads appending after
+        # dispatching could otherwise briefly queue 4 programs).
         self._max_inflight = 2
         self._inflight: list = []
+        self._outstanding = 0
 
     @property
     def spec(self) -> TpuDecodeSpec:
@@ -317,6 +322,50 @@ class Decoder:
                 segs += 1
         return segs >= 64
 
+    def _acquire_slot(self) -> None:
+        """Reserve one of the ``max_inflight`` device-program slots,
+        draining (blocking on) the oldest outstanding submission when the
+        queue is full. Blocking happens OUTSIDE the lock so other threads
+        keep packing while this one waits on the device."""
+        import time as _time
+        while True:
+            with self._lock:
+                if self._outstanding < self._max_inflight:
+                    self._outstanding += 1
+                    return
+                tok = self._inflight.pop(0) if self._inflight else None
+            if tok is None:
+                # Slots are reserved but their tokens not yet registered
+                # (another thread is mid-dispatch); yield briefly.
+                _time.sleep(0.0005)
+                continue
+            tok.block_until_ready()
+            with self._lock:
+                self._outstanding -= 1
+
+    def _register_token(self, tok) -> None:
+        with self._lock:
+            self._inflight.append(tok)
+
+    def _release_slot(self) -> None:
+        with self._lock:
+            self._outstanding -= 1
+
+    def synchronize(self) -> None:
+        """Drain every outstanding async submission from this handle — the
+        ``hipStreamSynchronize`` analog (src/rocjpeg_decoder.cpp:183,:290).
+        Call before process exit in benchmark-style drivers: tearing the
+        runtime down with programs still queued can wedge the device for
+        the next client on this platform."""
+        while True:
+            with self._lock:
+                tok = self._inflight.pop(0) if self._inflight else None
+            if tok is None:
+                return
+            tok.block_until_ready()
+            with self._lock:
+                self._outstanding -= 1
+
     def decode(self, stream: JpegStream,
                params: Optional[DecodeParams] = None) -> DecodedImage:
         """rocJpegDecode analog. Returns a DecodedImage whose channels are
@@ -416,58 +465,64 @@ class Decoder:
                    else contextlib.nullcontext())
         with dev_ctx:
             for idxs in chunks:
-                # Throttle BEFORE dispatching each chunk: at most
-                # max_inflight-1 prior submissions (any path, any thread)
-                # may be outstanding when new work enters the queue — a
-                # third concurrent wave-kernel instance can stall the
-                # runtime scheduler (see kernels/wave_pallas.py), and for
-                # multi-chunk batches this is also what bounds in-flight
-                # HBM to ~max_inflight chunks.
-                with self._lock:
-                    while len(self._inflight) >= self._max_inflight:
-                        self._inflight.pop(0).block_until_ready()
-                plist = [stream_params[i] for i in idxs]
-                # Normalize the crop per group: an invalid ROI decodes the
-                # full image (decoder.cpp:123-131) and must not create extra
-                # jit-cache entries.
-                p0 = plist[0]
-                crop = params.crop_rectangle
-                if crop is not None and not (
-                        0 < crop.width <= p0.picture_width
-                        and 0 < crop.height <= p0.picture_height):
-                    crop = None
-                vk = self._virtual_k(plist) if use_dev else None
-                per_image = None
-                if use_dev and self._group_device_eligible(plist, vk):
-                    from .pipeline import decode_group_device_entropy
-                    try:
-                        per_image, err, lane_img = decode_group_device_entropy(
-                            plist, fmt, crop, virtual_k=vk)
-                        from .pipeline import last_entropy_path
-                        paths.append((last_entropy_path(), idxs))
-                        err_flags.append(err)
-                        err_lanes.append((err, lane_img, idxs))
-                        with self._lock:
-                            self._inflight.append(err)
-                    except RocJpegError as exc:
-                        # Fall back to the host path when the group exceeds
-                        # the wave's table-bank capacity, or when the
-                        # virtual-restart index walk rejected a stream (the
-                        # host decoder reports corrupt scans precisely).
-                        if (vk is None and
-                                exc.status != Status.JPEG_NOT_SUPPORTED):
-                            raise
-                        per_image = None
-                if per_image is None:
-                    paths.append(("host", idxs))
-                    coeffs = host_decode.decode_coefficients_batch(plist)
-                    per_image = decode_group(plist, coeffs, fmt, crop)
-                    # Host-path submissions never sync in this call, so they
-                    # need explicit backpressure tokens too (the device
-                    # path's token is its err-flag array above); blocking on
-                    # one channel drains the chunk's whole batched program.
-                    with self._lock:
-                        self._inflight.append(per_image[0][0][0])
+                # Throttle BEFORE dispatching each chunk: reserve a device-
+                # program slot (draining the oldest submission if both are
+                # taken) so at most max_inflight programs are ever queued,
+                # across all paths and threads — a third concurrent wave-
+                # kernel instance can stall the runtime scheduler (see
+                # kernels/wave_pallas.py), and for multi-chunk batches this
+                # also bounds in-flight HBM to ~max_inflight chunks.
+                self._acquire_slot()
+                registered = False
+                try:
+                    plist = [stream_params[i] for i in idxs]
+                    # Normalize the crop per group: an invalid ROI decodes
+                    # the full image (decoder.cpp:123-131) and must not
+                    # create extra jit-cache entries.
+                    p0 = plist[0]
+                    crop = params.crop_rectangle
+                    if crop is not None and not (
+                            0 < crop.width <= p0.picture_width
+                            and 0 < crop.height <= p0.picture_height):
+                        crop = None
+                    vk = self._virtual_k(plist) if use_dev else None
+                    per_image = None
+                    if use_dev and self._group_device_eligible(plist, vk):
+                        from .pipeline import decode_group_device_entropy
+                        try:
+                            per_image, err, lane_img = \
+                                decode_group_device_entropy(
+                                    plist, fmt, crop, virtual_k=vk)
+                            from .pipeline import last_entropy_path
+                            paths.append((last_entropy_path(), idxs))
+                            err_flags.append(err)
+                            err_lanes.append((err, lane_img, idxs))
+                            self._register_token(err)
+                            registered = True
+                        except RocJpegError as exc:
+                            # Fall back to the host path when the group
+                            # exceeds the wave's table-bank capacity, or
+                            # when the virtual-restart index walk rejected
+                            # a stream (the host decoder reports corrupt
+                            # scans precisely).
+                            if (vk is None and
+                                    exc.status != Status.JPEG_NOT_SUPPORTED):
+                                raise
+                            per_image = None
+                    if per_image is None:
+                        paths.append(("host", idxs))
+                        coeffs = host_decode.decode_coefficients_batch(plist)
+                        per_image = decode_group(plist, coeffs, fmt, crop)
+                        # Host-path submissions never sync in this call, so
+                        # they need explicit backpressure tokens too (the
+                        # device path's token is its err-flag array above);
+                        # blocking on one channel drains the chunk's whole
+                        # batched program.
+                        self._register_token(per_image[0][0][0])
+                        registered = True
+                finally:
+                    if not registered:
+                        self._release_slot()
                 for i, chans in zip(idxs, per_image):
                     img = DecodedImage.empty()
                     for ci, (arr, pitch) in enumerate(chans):
