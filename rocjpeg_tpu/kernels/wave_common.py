@@ -6,7 +6,7 @@ replacement for the host DRI=0 index walk) — run the same inner machinery:
 a branchless two-word bit-window refill and a 16-candidate canonical
 Huffman symbol decode. Extracting them here keeps the two kernels
 bit-identical by construction (the emission semantics are pinned against
-the host oracle by tests/test_wave_pallas.py and tests/test_sync_wave.py).
+the host oracle by tests/test_wave_pallas.py and tests/test_sync_entropy.py).
 
 Reference context: this is the symbol automaton of ITU-T T.81 Annex F that
 the reference's VCN ASIC implements in silicon (delegated via
