@@ -1311,6 +1311,280 @@ long idx_walk8(RjtIndexJob** jobs, const IdxBanks& tb,
 
 #pragma GCC pop_options
 
+// ---------------------------------------------------------------------------
+// AVX-512 16-stream index walk — the same design at twice the lane count.
+//
+// The 8-stream walker's inner loop is gather-latency/throughput bound (five
+// gathers serve eight lanes); the 512-bit version serves SIXTEEN lanes with
+// six gathers (2 refill halves + sel + t12; comp_of becomes a register-
+// resident VPERMD since T.81 caps sum(h*v) at 10 slots), and every masked
+// blend becomes a mask-register op. Same rare-event scalar fixups.
+// ---------------------------------------------------------------------------
+
+#pragma GCC push_options
+#pragma GCC target("avx512f,avx512bw,avx512dq,avx512vl,avx2")
+
+namespace {
+
+struct Lane16 {
+  RjtIndexJob* job;
+  long rec = 0;
+  bool done = false;
+};
+
+long idx_walk16(RjtIndexJob** jobs, const IdxBanks& tb,
+                long* clean_lens_out) {
+  const int total = jobs[0]->total_mcus;
+  const long S = jobs[0]->min_symbols > 0 ? jobs[0]->min_symbols : (1L << 60);
+  const int nslots = tb.nslots;
+
+  Lane16 lanes[16];
+  alignas(64) int64_t base_a[16], end_a[16];
+  long clean_lens[16];
+  for (int l = 0; l < 16; ++l) {
+    RjtIndexJob& j = *jobs[l];
+    long cl = unstuff_scan(j.scan, j.scan_len, j.clean);
+    if (cl < 0) return -RJT_BAD_SEGMENTS;
+    clean_lens[l] = cl;
+    clean_lens_out[l] = cl;
+    lanes[l] = Lane16{&j, 1, false};
+    base_a[l] = (int64_t)(uintptr_t)j.clean;
+    end_a[l] = base_a[l] + cl;  // clamp target; buffer has 8B zero slack
+    j.bit_off[0] = 0;
+    j.mcu_idx[0] = 0;
+    j.dc_out[0] = j.dc_out[1] = j.dc_out[2] = 0;
+  }
+
+  __m512i acc_lo = _mm512_setzero_si512();  // lanes 0..7 (u64 windows)
+  __m512i acc_hi = _mm512_setzero_si512();  // lanes 8..15
+  __m512i pos_lo = _mm512_load_si512((const void*)base_a);
+  __m512i pos_hi = _mm512_load_si512((const void*)(base_a + 8));
+  const __m512i end_lo = _mm512_load_si512((const void*)end_a);
+  const __m512i end_hi = _mm512_load_si512((const void*)(end_a + 8));
+  __m512i bits = _mm512_setzero_si512();
+  __m512i k = _mm512_setzero_si512();
+  __m512i s = _mm512_setzero_si512();
+  __m512i m = _mm512_setzero_si512();
+  __m512i syms = _mm512_setzero_si512();
+  __m512i dc[3] = {_mm512_setzero_si512(), _mm512_setzero_si512(),
+                   _mm512_setzero_si512()};
+  __mmask16 active = 0xFFFF;
+
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i c1 = _mm512_set1_epi32(1);
+  const __m512i c32 = _mm512_set1_epi32(32);
+  const __m512i c63 = _mm512_set1_epi32(63);
+  const __m512i vtotal = _mm512_set1_epi32(total);
+  const __m512i vnslots1 = _mm512_set1_epi32(nslots - 1);
+  const __m512i vS = _mm512_set1_epi32((int)std::min(S, (long)INT32_MAX));
+  const __m512i bsw = _mm512_broadcast_i32x4(
+      _mm_setr_epi8(3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12));
+  // comp_of fits one register (T.81: sum of h*v sampling factors <= 10).
+  alignas(64) int32_t comp_tbl_a[16] = {0};
+  for (int i = 0; i < nslots && i < 16; ++i) comp_tbl_a[i] = tb.comp_of[i];
+  const __m512i comp_tbl = _mm512_load_si512((const void*)comp_tbl_a);
+
+  auto widen_lo = [](__m512i v32) {
+    return _mm512_cvtepi32_epi64(_mm512_castsi512_si256(v32));
+  };
+  auto widen_hi = [](__m512i v32) {
+    return _mm512_cvtepi32_epi64(_mm512_extracti64x4_epi64(v32, 1));
+  };
+  auto widenu_lo = [](__m256i v32) { return _mm512_cvtepu32_epi64(v32); };
+  auto narrow = [](__m512i lo64, __m512i hi64) {
+    __m256i a = _mm512_cvtepi64_epi32(lo64);
+    __m256i b = _mm512_cvtepi64_epi32(hi64);
+    return _mm512_inserti64x4(_mm512_castsi256_si512(a), b, 1);
+  };
+
+  int iter_since_check = 0;
+  for (;;) {
+    if (!active) break;
+
+    // ---- branchless refill: one 32-bit gather per 8-lane half ----
+    __mmask16 need = _mm512_mask_cmplt_epi32_mask(
+        active, bits, _mm512_set1_epi32(33));
+    __mmask8 need_lo = (__mmask8)(need & 0xFF);
+    __mmask8 need_hi = (__mmask8)(need >> 8);
+    __m512i rp_lo = _mm512_min_epu64(pos_lo, end_lo);
+    __m512i rp_hi = _mm512_min_epu64(pos_hi, end_hi);
+    __m256i wlo = _mm512_i64gather_epi32(rp_lo, (const void*)0, 1);
+    __m256i whi = _mm512_i64gather_epi32(rp_hi, (const void*)0, 1);
+    __m512i w = _mm512_inserti64x4(_mm512_castsi256_si512(wlo), whi, 1);
+    w = _mm512_shuffle_epi8(w, bsw);
+    __m512i sh32 = _mm512_and_si512(_mm512_sub_epi32(c32, bits), c63);
+    __m512i add_lo = _mm512_sllv_epi64(widenu_lo(_mm512_castsi512_si256(w)),
+                                       widen_lo(sh32));
+    __m512i add_hi = _mm512_sllv_epi64(
+        widenu_lo(_mm512_extracti64x4_epi64(w, 1)), widen_hi(sh32));
+    acc_lo = _mm512_mask_or_epi64(acc_lo, need_lo, acc_lo, add_lo);
+    acc_hi = _mm512_mask_or_epi64(acc_hi, need_hi, acc_hi, add_hi);
+    bits = _mm512_mask_add_epi32(bits, need, bits, c32);
+    pos_lo = _mm512_mask_add_epi64(pos_lo, need_lo, pos_lo,
+                                   _mm512_set1_epi64(4));
+    pos_hi = _mm512_mask_add_epi64(pos_hi, need_hi, pos_hi,
+                                   _mm512_set1_epi64(4));
+
+    // ---- peek16 + fused LUT gather ----
+    __m512i w16 = narrow(_mm512_srli_epi64(acc_lo, 48),
+                         _mm512_srli_epi64(acc_hi, 48));
+    __mmask16 is_dc = _mm512_cmpeq_epi32_mask(k, zero);
+    __m512i selidx = _mm512_mask_add_epi32(
+        _mm512_add_epi32(s, s), is_dc, _mm512_add_epi32(s, s), c1);
+    __m512i bank = _mm512_i32gather_epi32(selidx, tb.sel.data(), 4);
+    __m512i entidx = _mm512_add_epi32(_mm512_slli_epi32(bank, 12),
+                                      _mm512_srli_epi32(w16, 4));
+    __m512i ent = _mm512_i32gather_epi32(entidx, tb.t12.data(), 2);
+    ent = _mm512_and_si512(ent, _mm512_set1_epi32(0xFFFF));
+
+    // Level-2 fallback / invalid code: rare -> scalar per lane.
+    __mmask16 miss = _mm512_mask_cmpeq_epi32_mask(active, ent, zero);
+    if (__builtin_expect(miss, 0)) {
+      alignas(64) int32_t w16_a[16], bank_a[16], ent_a[16];
+      _mm512_store_si512((void*)w16_a, w16);
+      _mm512_store_si512((void*)bank_a, bank);
+      _mm512_store_si512((void*)ent_a, ent);
+      for (int l = 0; l < 16; ++l) {
+        if (!(miss & (1u << l))) continue;
+        uint32_t e2 = tb.t16[(size_t)bank_a[l] * 65536 + (uint32_t)w16_a[l]];
+        if (e2 == 0) return -RJT_INVALID_CODE;
+        ent_a[l] = (int32_t)e2;
+      }
+      ent = _mm512_load_si512((const void*)ent_a);
+    }
+
+    __m512i skip = _mm512_maskz_and_epi32(active, ent,
+                                          _mm512_set1_epi32(31));
+    __m512i adv = _mm512_maskz_and_epi32(
+        active, _mm512_srli_epi32(ent, 5), _mm512_set1_epi32(127));
+    __m512i size = _mm512_srli_epi32(ent, 12);
+
+    // ---- DC predictor update (masked; AC lanes have size == 0) ----
+    __m512i w32 = narrow(_mm512_srli_epi64(acc_lo, 32),
+                         _mm512_srli_epi64(acc_hi, 32));
+    __m512i mag = _mm512_srlv_epi32(w32, _mm512_sub_epi32(c32, skip));
+    __m512i szmask = _mm512_sub_epi32(_mm512_sllv_epi32(c1, size), c1);
+    mag = _mm512_and_si512(mag, szmask);
+    __m512i half = _mm512_srli_epi32(_mm512_add_epi32(szmask, c1), 1);
+    __mmask16 neg = _mm512_cmplt_epi32_mask(mag, half);
+    __m512i e = _mm512_mask_sub_epi32(mag, neg, mag, szmask);
+    __mmask16 dcm = (__mmask16)(is_dc & active);
+    __m512i comp = _mm512_permutexvar_epi32(s, comp_tbl);
+    for (int c = 0; c < 3; ++c) {
+      __mmask16 cm = _mm512_mask_cmpeq_epi32_mask(
+          dcm, comp, _mm512_set1_epi32(c));
+      dc[c] = _mm512_mask_add_epi32(dc[c], cm, dc[c], e);
+    }
+
+    // ---- consume bits ----
+    acc_lo = _mm512_sllv_epi64(acc_lo, widen_lo(skip));
+    acc_hi = _mm512_sllv_epi64(acc_hi, widen_hi(skip));
+    bits = _mm512_sub_epi32(bits, skip);
+
+    // ---- state transitions (mask ops) ----
+    __m512i kn = _mm512_add_epi32(k, adv);
+    __mmask16 bd = _mm512_cmpgt_epi32_mask(kn, c63);
+    k = _mm512_maskz_mov_epi32(~bd, kn);
+    s = _mm512_mask_add_epi32(s, bd, s, c1);
+    __mmask16 md = _mm512_cmpgt_epi32_mask(s, vnslots1);
+    s = _mm512_maskz_mov_epi32(~md, s);
+    m = _mm512_mask_add_epi32(m, md, m, c1);
+    syms = _mm512_mask_add_epi32(syms, active, syms, c1);
+
+    // ---- rare events: record / completion / bounds (scalar) ----
+    __mmask16 fin = _mm512_mask_cmp_epi32_mask(md, m, vtotal,
+                                               _MM_CMPINT_NLT);  // m >= total
+    __mmask16 want_rec = _mm512_mask_cmp_epi32_mask(md, syms, vS,
+                                                    _MM_CMPINT_NLT);
+    unsigned evbits = (unsigned)((fin | want_rec) & active);
+    if (__builtin_expect(evbits || ++iter_since_check >= 4096, 0)) {
+      iter_since_check = 0;
+      alignas(64) int32_t m_a[16], syms_a[16], bits_a[16], dc_a[3][16];
+      alignas(64) int64_t pos_a[16];
+      _mm512_store_si512((void*)m_a, m);
+      _mm512_store_si512((void*)syms_a, syms);
+      _mm512_store_si512((void*)bits_a, bits);
+      for (int c = 0; c < 3; ++c) _mm512_store_si512((void*)dc_a[c], dc[c]);
+      _mm512_store_si512((void*)pos_a, pos_lo);
+      _mm512_store_si512((void*)(pos_a + 8), pos_hi);
+      bool any_change = false;
+      alignas(64) int32_t syms_new[16];
+      _mm512_store_si512((void*)syms_new, syms);
+      for (int l = 0; l < 16; ++l) {
+        if (lanes[l].done) continue;
+        int64_t bit_off = (pos_a[l] - base_a[l]) * 8 - bits_a[l];
+        if (bit_off > clean_lens[l] * 8 + 56) return -RJT_SCAN_EXHAUSTED;
+        if (m_a[l] >= total) {
+          RjtIndexJob& j = *lanes[l].job;
+          j.sym_count[lanes[l].rec - 1] = syms_a[l];
+          j.n_found = lanes[l].rec;
+          lanes[l].done = true;
+          active = (__mmask16)(active & ~(1u << l));
+          any_change = true;
+        } else if ((evbits & (1u << l)) && syms_a[l] >= S) {
+          RjtIndexJob& j = *lanes[l].job;
+          if (lanes[l].rec >= j.n_records) return -RJT_BAD_SEGMENTS;
+          j.sym_count[lanes[l].rec - 1] = syms_a[l];
+          j.bit_off[lanes[l].rec] = bit_off;
+          j.mcu_idx[lanes[l].rec] = m_a[l];
+          j.dc_out[lanes[l].rec * 3 + 0] = dc_a[0][l];
+          j.dc_out[lanes[l].rec * 3 + 1] = dc_a[1][l];
+          j.dc_out[lanes[l].rec * 3 + 2] = dc_a[2][l];
+          ++lanes[l].rec;
+          syms_new[l] = 0;
+          any_change = true;
+        }
+      }
+      if (any_change)
+        syms = _mm512_load_si512((const void*)syms_new);
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+#pragma GCC pop_options
+
+// Walk up to 16 same-geometry, same-table jobs in AVX-512 lockstep; the
+// 16-lane sibling of rjt_index_scan8 (same output contract). Returns
+// -RJT_BAD_SEGMENTS when AVX-512 is unavailable or jobs are not uniform —
+// callers then fall back to the 8-lane walker / scalar pair walker.
+long rjt_index_scan16(RjtIndexJob** jobs, long n_jobs,
+                      long* clean_lens_out) {
+  if (n_jobs != 16) return -RJT_BAD_SEGMENTS;
+  if (!__builtin_cpu_supports("avx512f") ||
+      !__builtin_cpu_supports("avx512bw") ||
+      !__builtin_cpu_supports("avx512dq") ||
+      !__builtin_cpu_supports("avx512vl"))
+    return -RJT_BAD_SEGMENTS;
+  const RjtIndexJob& a = *jobs[0];
+  for (int l = 1; l < 16; ++l) {
+    const RjtIndexJob& b = *jobs[l];
+    if (a.total_mcus != b.total_mcus || a.min_symbols != b.min_symbols ||
+        a.interleaved != b.interleaved ||
+        a.num_components != b.num_components)
+      return -RJT_BAD_SEGMENTS;
+    for (int t = 0; t < kMaxTables; ++t) {
+      const uint8_t* pa[4] = {a.dc_bits[t], a.dc_values[t], a.ac_bits[t],
+                              a.ac_values[t]};
+      const uint8_t* pb[4] = {b.dc_bits[t], b.dc_values[t], b.ac_bits[t],
+                              b.ac_values[t]};
+      for (int j = 0; j < 4; ++j) {
+        if ((pa[j] == nullptr) != (pb[j] == nullptr))
+          return -RJT_BAD_SEGMENTS;
+        if (pa[j] && pa[j] != pb[j] &&
+            std::memcmp(pa[j], pb[j], (j & 1) ? 162 : 16) != 0)
+          return -RJT_BAD_SEGMENTS;
+      }
+    }
+  }
+  IdxBanks tb;
+  int rc = tb.build(a);
+  if (rc) return rc;
+  return idx_walk16(jobs, tb, clean_lens_out);
+}
+
 // Walk up to 8 same-geometry, same-table jobs in SIMD lockstep. Fills each
 // job's outputs exactly like rjt_index_scan (n_found, clean via job.clean;
 // per-job clean lengths via clean_lens_out). Jobs beyond the first must
@@ -1356,6 +1630,14 @@ long rjt_index_scan8(RjtIndexJob** jobs, long n_jobs,
   (void)n_jobs;
   (void)clean_lens_out;
   return -RJT_BAD_SEGMENTS;  // caller falls back to the scalar pair walker
+}
+
+long rjt_index_scan16(RjtIndexJob** jobs, long n_jobs,
+                      long* clean_lens_out) {
+  (void)jobs;
+  (void)n_jobs;
+  (void)clean_lens_out;
+  return -RJT_BAD_SEGMENTS;
 }
 
 #endif  // __x86_64__

@@ -173,6 +173,11 @@ def _load():
                 ctypes.POINTER(ctypes.POINTER(_RjtIndexJob)),
                 ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
             lib.rjt_index_scan8.restype = ctypes.c_long
+            if hasattr(lib, "rjt_index_scan16"):
+                lib.rjt_index_scan16.argtypes = [
+                    ctypes.POINTER(ctypes.POINTER(_RjtIndexJob)),
+                    ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
+                lib.rjt_index_scan16.restype = ctypes.c_long
         if hasattr(lib, "rjt_unstuff"):
             lib.rjt_unstuff.argtypes = [ctypes.c_char_p, ctypes.c_long,
                                         ctypes.c_void_p]
@@ -485,6 +490,32 @@ def index_scan8(params_list, min_symbols: int):
     clean_lens = (ctypes.c_long * 8)()
     rc = int(_lib.rjt_index_scan8(jobs, 8, clean_lens))
     if rc == -5:  # RJT_BAD_SEGMENTS: no AVX2 or non-uniform tables
+        return None
+    if rc < 0:
+        raise RocJpegError(Status.BAD_JPEG,
+                           _ERROR_NAMES.get(-rc, f"native index error {-rc}"))
+    out = []
+    for i, (job, clean, bit_off, dc, mcu_idx, sym_count, _k) in enumerate(built):
+        n = job.n_found
+        out.append((clean[:clean_lens[i]], bit_off[:n], dc[:n],
+                    mcu_idx[:n], sym_count[:n]))
+    return out
+
+
+def index_scan16(params_list, min_symbols: int):
+    """AVX-512 16-stream index pass (csrc rjt_index_scan16): sixteen
+    same-shape, same-table streams walked in vector lanes. Returns a list
+    of sixteen (clean, bit_off, dc, mcu_idx, sym_count) tuples, or None
+    when the path is unavailable (no AVX-512 / non-uniform jobs) — callers
+    fall back to the 8-lane walker."""
+    if len(params_list) != 16 or not hasattr(_lib, "rjt_index_scan16"):
+        return None
+    built = [_build_index_job(p, min_symbols) for p in params_list]
+    jobs = (ctypes.POINTER(_RjtIndexJob) * 16)(
+        *[ctypes.pointer(b[0]) for b in built])
+    clean_lens = (ctypes.c_long * 16)()
+    rc = int(_lib.rjt_index_scan16(jobs, 16, clean_lens))
+    if rc == -5:  # RJT_BAD_SEGMENTS: no AVX-512 or non-uniform tables
         return None
     if rc < 0:
         raise RocJpegError(Status.BAD_JPEG,
