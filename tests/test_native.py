@@ -212,3 +212,38 @@ def test_sof_sampling_fuzz_differential(corpus):
                 except RocJpegError as e:
                     nat_out = ("err", str(e))
                 assert py_out == nat_out, (comp, h, v, py_out, nat_out)
+
+
+# ---------------------------------------------------------------------------
+# SIMD index walkers (ASAN-covered here: this suite runs under
+# `make test-asan`, and the gather-heavy AVX2/AVX-512 walkers are exactly
+# the code that wants address-sanitizer eyes).
+# ---------------------------------------------------------------------------
+
+def _dri0_params(w, h, seed):
+    blob = encoder.encode_planes(
+        encoder.random_planes("420", w, h, seed=seed), "420",
+        restart_interval=0)
+    return JpegStreamParser().parse(blob)
+
+
+def test_index_scan8_asan_covered():
+    plist = [_dri0_params(128, 96, 50 + s) for s in range(8)]
+    out = native.index_scan8(plist, 64)
+    if out is None:
+        pytest.skip("AVX2 walker unavailable")
+    for p, got in zip(plist, out):
+        ref = native.index_scan(p, 64)
+        for x, y in zip(ref, got):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_index_scan16_asan_covered():
+    plist = [_dri0_params(128, 96, 70 + s) for s in range(16)]
+    out = native.index_scan16(plist, 64)
+    if out is None:
+        pytest.skip("AVX-512 walker unavailable")
+    for p, got in zip(plist, out):
+        ref = native.index_scan(p, 64)
+        for x, y in zip(ref, got):
+            np.testing.assert_array_equal(x, y)

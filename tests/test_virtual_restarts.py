@@ -79,6 +79,42 @@ def test_index_scan2_matches_two_single_scans():
             np.testing.assert_array_equal(x, y)
 
 
+def test_index_scan8_matches_single_scans():
+    plist = [JpegStreamParser().parse(_dri0("420", 128, 96, seed=10 + s))
+             for s in range(8)]
+    out = native.index_scan8(plist, 64)
+    if out is None:
+        pytest.skip("AVX2 walker unavailable on this host")
+    for p, got in zip(plist, out):
+        ref = native.index_scan(p, 64)
+        for x, y in zip(ref, got):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_index_scan16_matches_single_scans():
+    """The AVX-512 16-stream walker must be record-exact vs the scalar
+    walker on sixteen DISTINCT streams (lanes at different block phases)."""
+    plist = [JpegStreamParser().parse(_dri0("420", 128, 96, seed=20 + s))
+             for s in range(16)]
+    out = native.index_scan16(plist, 64)
+    if out is None:
+        pytest.skip("AVX-512 walker unavailable on this host")
+    for p, got in zip(plist, out):
+        ref = native.index_scan(p, 64)
+        for x, y in zip(ref, got):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_index_scan16_mixed_sizes_rejected():
+    """Non-uniform jobs (different dims) must return None (fallback), not
+    walk garbage."""
+    a = [JpegStreamParser().parse(_dri0("420", 128, 96, seed=30 + s))
+         for s in range(8)]
+    b = [JpegStreamParser().parse(_dri0("420", 144, 112, seed=40 + s))
+         for s in range(8)]
+    assert native.index_scan16(a + b, 64) is None
+
+
 def test_index_scan_rejects_corrupt_stream():
     from rocjpeg_tpu.status import RocJpegError
     blob = _dri0("420", 128, 96, seed=4)
