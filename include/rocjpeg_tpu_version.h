@@ -6,9 +6,9 @@
 #define ROCJPEG_TPU_VERSION_H_
 
 #define ROCJPEG_TPU_MAJOR_VERSION 0
-#define ROCJPEG_TPU_MINOR_VERSION 2
+#define ROCJPEG_TPU_MINOR_VERSION 3
 #define ROCJPEG_TPU_PATCH_VERSION 0
 
-#define ROCJPEG_TPU_VERSION_STR "0.2.0"
+#define ROCJPEG_TPU_VERSION_STR "0.3.0"
 
 #endif /* ROCJPEG_TPU_VERSION_H_ */
