@@ -24,9 +24,26 @@ status code (``src/rocjpeg_api.cpp:168-174``).
 
 from __future__ import annotations
 
+import os as _os
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
+
+# Make the JAX_PLATFORMS env var actually effective for C ABI consumers:
+# some hosts install a sitecustomize that calls
+# jax.config.update("jax_platforms", ...) at interpreter start, which
+# silently overrides the env var a C process sets before dlopen. The C ABI
+# documents JAX_PLATFORMS as the device-selection knob, so re-assert it
+# here (before any backend initializes). Python users importing
+# rocjpeg_tpu.api directly are untouched.
+_envp = _os.environ.get("JAX_PLATFORMS")
+if _envp:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _envp)
+    except Exception:
+        pass
 
 from . import api
 from .status import RocJpegError, Status, get_error_name  # noqa: F401 (re-export)
