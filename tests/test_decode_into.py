@@ -108,6 +108,20 @@ def test_decode_into_skips_unallocated_chroma(decoder, fixtures):
     _check_dest(dest, shapes[:1], ref[:1])
 
 
+def test_decode_into_with_crop(decoder, fixtures):
+    """Crop + caller buffers: the buffer need only fit the CROPPED dims
+    (reference ROI copy semantics, src/rocjpeg_decoder.cpp:372-399)."""
+    from rocjpeg_tpu.types import CropRectangle
+    data = fixtures["420"]
+    crop = CropRectangle(left=16, top=8, right=16 + 64, bottom=8 + 64)
+    params = DecodeParams(output_format=OutputFormat.RGB,
+                          crop_rectangle=crop)
+    ref = golden.decode(data, OutputFormat.RGB, crop)
+    dest, shapes = _alloc_dest(ref, 9)
+    decoder.decode_into(api.JpegStream(data), dest, params)
+    _check_dest(dest, shapes, ref)
+
+
 def test_decode_into_null_channel0(decoder, fixtures):
     dest = DecodedImage.empty()
     with pytest.raises(RocJpegError) as ei:
