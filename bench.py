@@ -255,8 +255,10 @@ def check_regressions(result: dict, threshold: float = 0.8) -> bool:
     import glob
     import re
     root = os.path.dirname(os.path.abspath(__file__))
-    prevs = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
-                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    prevs = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(
+            re.search(r"r(\d+)", os.path.basename(p)).group(1)))
     if not prevs:
         return False
     try:

@@ -24,6 +24,10 @@ namespace {
 
 constexpr int kMaxComponents = 3;
 constexpr int kMaxTables = 4;
+// Byte lengths for comparing {dc_bits, dc_values, ac_bits, ac_values}
+// table buffers: DC value lists hold at most 12 symbols (T.81 B.2.4.2) —
+// comparing 162 would read past the 12-byte allocation.
+constexpr size_t kTblCmpLen[4] = {16, 12, 16, 162};
 
 // Natural index of the k-th zigzag coefficient (ITU-T T.81 Figure 5).
 constexpr uint8_t kZigzag[64] = {
@@ -890,7 +894,7 @@ long rjt_index_scan2(RjtIndexJob* ja, RjtIndexJob* jb,
     for (int j = 0; j < 4 && shared; ++j) {
       if ((pa[j] == nullptr) != (pb[j] == nullptr)) shared = false;
       else if (pa[j] && pa[j] != pb[j] &&
-               std::memcmp(pa[j], pb[j], (j & 1) ? 162 : 16) != 0)
+               std::memcmp(pa[j], pb[j], kTblCmpLen[j]) != 0)
         shared = false;
     }
   }
@@ -1574,7 +1578,7 @@ long rjt_index_scan16(RjtIndexJob** jobs, long n_jobs,
         if ((pa[j] == nullptr) != (pb[j] == nullptr))
           return -RJT_BAD_SEGMENTS;
         if (pa[j] && pa[j] != pb[j] &&
-            std::memcmp(pa[j], pb[j], (j & 1) ? 162 : 16) != 0)
+            std::memcmp(pa[j], pb[j], kTblCmpLen[j]) != 0)
           return -RJT_BAD_SEGMENTS;
       }
     }
@@ -1582,7 +1586,22 @@ long rjt_index_scan16(RjtIndexJob** jobs, long n_jobs,
   IdxBanks tb;
   int rc = tb.build(a);
   if (rc) return rc;
+  // idx_walk16's slot->component map is a 16-entry register permute; a
+  // stream with more scan slots (malformed sampling factors past T.81's
+  // sum(h*v) <= 10 cap can parse that way) must fall back rather than
+  // silently wrap the permute index.
+  if (tb.nslots > 16) return -RJT_BAD_SEGMENTS;
   return idx_walk16(jobs, tb, clean_lens_out);
+}
+
+// Static CPU capability probe for the 16-lane walker, so callers can pick
+// their chunk width once instead of building 16 jobs per batch only to be
+// told -RJT_BAD_SEGMENTS on hosts without AVX-512.
+long rjt_index_scan16_available(void) {
+  return __builtin_cpu_supports("avx512f") &&
+         __builtin_cpu_supports("avx512bw") &&
+         __builtin_cpu_supports("avx512dq") &&
+         __builtin_cpu_supports("avx512vl");
 }
 
 // Walk up to 8 same-geometry, same-table jobs in SIMD lockstep. Fills each
@@ -1611,7 +1630,7 @@ long rjt_index_scan8(RjtIndexJob** jobs, long n_jobs,
         if ((pa[j] == nullptr) != (pb[j] == nullptr))
           return -RJT_BAD_SEGMENTS;
         if (pa[j] && pa[j] != pb[j] &&
-            std::memcmp(pa[j], pb[j], (j & 1) ? 162 : 16) != 0)
+            std::memcmp(pa[j], pb[j], kTblCmpLen[j]) != 0)
           return -RJT_BAD_SEGMENTS;
       }
     }
@@ -1639,6 +1658,8 @@ long rjt_index_scan16(RjtIndexJob** jobs, long n_jobs,
   (void)clean_lens_out;
   return -RJT_BAD_SEGMENTS;
 }
+
+long rjt_index_scan16_available(void) { return 0; }
 
 #endif  // __x86_64__
 

@@ -70,6 +70,16 @@ def write_channel_into(arr, dest, pitch: int) -> None:
         if not dest.flags.writeable:
             raise RocJpegError(Status.INVALID_PARAMETER,
                                "destination buffer is read-only")
+        if not dest.flags.c_contiguous:
+            # reshape(-1) on a non-contiguous view COPIES — the strided
+            # write would land in the copy and the caller's buffer would
+            # silently stay untouched. Pitch is how callers express padded
+            # layouts here (pass the base buffer + pitch, not a sliced
+            # view), so reject rather than guess.
+            raise RocJpegError(Status.INVALID_PARAMETER,
+                               "destination buffer must be C-contiguous "
+                               "(pass the base buffer and express padding "
+                               "via pitch)")
         flat = dest.reshape(-1).view(np.uint8)
         need = (h - 1) * pitch + row_bytes
         if flat.nbytes < need:
@@ -339,9 +349,15 @@ class Decoder:
                 # (another thread is mid-dispatch); yield briefly.
                 _time.sleep(0.0005)
                 continue
-            tok.block_until_ready()
-            with self._lock:
-                self._outstanding -= 1
+            # The popped token owns one reservation; release it even when
+            # the program failed asynchronously (block_until_ready raises)
+            # — a leaked reservation would hang the handle forever once
+            # max_inflight failures accumulate.
+            try:
+                tok.block_until_ready()
+            finally:
+                with self._lock:
+                    self._outstanding -= 1
 
     def _register_token(self, tok) -> None:
         with self._lock:
@@ -362,9 +378,11 @@ class Decoder:
                 tok = self._inflight.pop(0) if self._inflight else None
             if tok is None:
                 return
-            tok.block_until_ready()
-            with self._lock:
-                self._outstanding -= 1
+            try:
+                tok.block_until_ready()
+            finally:
+                with self._lock:
+                    self._outstanding -= 1
 
     def decode(self, stream: JpegStream,
                params: Optional[DecodeParams] = None) -> DecodedImage:

@@ -624,10 +624,10 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
 
     # Chunk width: prefer 16-lane AVX-512 walks (measured ~1.8x one core's
     # 8-lane throughput, i.e. one scan16 ~= two parallel scan8 cores while
-    # freeing the second core for other callers' chunks).
-    cw = 16 if (B >= 16 and hasattr(native, "index_scan16")
-                and hasattr(getattr(native, "_lib", None),
-                            "rjt_index_scan16")) else 8
+    # freeing the second core for other callers' chunks). The capability is
+    # a static CPU probe — never build 16 jobs just to be told no.
+    cw = 16 if (B >= 16 and getattr(native, "index_scan16_available",
+                                    lambda: False)()) else 8
     chunks = [params_list[i:i + cw] for i in range(0, B, cw)]
     if len(chunks) > 1:
         scans = [r for rs in _pack_pool().map(_scan_chunk, chunks)

@@ -9,6 +9,7 @@ bit-for-bit; errors surface as RocJpegError(BAD_JPEG).
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
 from typing import List
 
@@ -178,6 +179,9 @@ def _load():
                     ctypes.POINTER(ctypes.POINTER(_RjtIndexJob)),
                     ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
                 lib.rjt_index_scan16.restype = ctypes.c_long
+            if hasattr(lib, "rjt_index_scan16_available"):
+                lib.rjt_index_scan16_available.argtypes = []
+                lib.rjt_index_scan16_available.restype = ctypes.c_long
         if hasattr(lib, "rjt_unstuff"):
             lib.rjt_unstuff.argtypes = [ctypes.c_char_p, ctypes.c_long,
                                         ctypes.c_void_p]
@@ -475,6 +479,29 @@ def index_scan2(pa: JpegStreamParams, pb: JpegStreamParams,
             (cb[:lb.value], bob[:nb], dcb[:nb], mib[:nb], scb[:nb])]
 
 
+def _index_scan_simd(params_list, min_symbols: int, n: int, fn):
+    """Shared wrapper for the SIMD n-stream index walkers: builds the n
+    jobs, runs the native walker, and slices the per-job outputs. Returns
+    None on -RJT_BAD_SEGMENTS (SIMD tier unavailable / non-uniform jobs) —
+    callers fall back to the next-narrower walker."""
+    built = [_build_index_job(p, min_symbols) for p in params_list]
+    jobs = (ctypes.POINTER(_RjtIndexJob) * n)(
+        *[ctypes.pointer(b[0]) for b in built])
+    clean_lens = (ctypes.c_long * n)()
+    rc = int(fn(jobs, n, clean_lens))
+    if rc == -5:  # RJT_BAD_SEGMENTS
+        return None
+    if rc < 0:
+        raise RocJpegError(Status.BAD_JPEG,
+                           _ERROR_NAMES.get(-rc, f"native index error {-rc}"))
+    out = []
+    for i, (job, clean, bit_off, dc, mcu_idx, sym_count, _k) in enumerate(built):
+        nf = job.n_found
+        out.append((clean[:clean_lens[i]], bit_off[:nf], dc[:nf],
+                    mcu_idx[:nf], sym_count[:nf]))
+    return out
+
+
 def index_scan8(params_list, min_symbols: int):
     """SIMD 8-stream index pass (csrc rjt_index_scan8, AVX2): eight
     same-shape, same-table streams walked in vector lanes — the wave
@@ -484,22 +511,18 @@ def index_scan8(params_list, min_symbols: int):
     to the scalar pair walker."""
     if len(params_list) != 8 or not hasattr(_lib, "rjt_index_scan8"):
         return None
-    built = [_build_index_job(p, min_symbols) for p in params_list]
-    jobs = (ctypes.POINTER(_RjtIndexJob) * 8)(
-        *[ctypes.pointer(b[0]) for b in built])
-    clean_lens = (ctypes.c_long * 8)()
-    rc = int(_lib.rjt_index_scan8(jobs, 8, clean_lens))
-    if rc == -5:  # RJT_BAD_SEGMENTS: no AVX2 or non-uniform tables
-        return None
-    if rc < 0:
-        raise RocJpegError(Status.BAD_JPEG,
-                           _ERROR_NAMES.get(-rc, f"native index error {-rc}"))
-    out = []
-    for i, (job, clean, bit_off, dc, mcu_idx, sym_count, _k) in enumerate(built):
-        n = job.n_found
-        out.append((clean[:clean_lens[i]], bit_off[:n], dc[:n],
-                    mcu_idx[:n], sym_count[:n]))
-    return out
+    return _index_scan_simd(params_list, min_symbols, 8,
+                            _lib.rjt_index_scan8)
+
+
+@functools.lru_cache(maxsize=1)
+def index_scan16_available() -> bool:
+    """Whether the AVX-512 16-stream walker can run on this host (static
+    CPU probe; lets callers pick a chunk width once instead of building 16
+    jobs per batch only to be rejected)."""
+    if not hasattr(_lib, "rjt_index_scan16_available"):
+        return False
+    return bool(_lib.rjt_index_scan16_available())
 
 
 def index_scan16(params_list, min_symbols: int):
@@ -508,24 +531,11 @@ def index_scan16(params_list, min_symbols: int):
     of sixteen (clean, bit_off, dc, mcu_idx, sym_count) tuples, or None
     when the path is unavailable (no AVX-512 / non-uniform jobs) — callers
     fall back to the 8-lane walker."""
-    if len(params_list) != 16 or not hasattr(_lib, "rjt_index_scan16"):
+    if (len(params_list) != 16 or not hasattr(_lib, "rjt_index_scan16")
+            or not index_scan16_available()):
         return None
-    built = [_build_index_job(p, min_symbols) for p in params_list]
-    jobs = (ctypes.POINTER(_RjtIndexJob) * 16)(
-        *[ctypes.pointer(b[0]) for b in built])
-    clean_lens = (ctypes.c_long * 16)()
-    rc = int(_lib.rjt_index_scan16(jobs, 16, clean_lens))
-    if rc == -5:  # RJT_BAD_SEGMENTS: no AVX-512 or non-uniform tables
-        return None
-    if rc < 0:
-        raise RocJpegError(Status.BAD_JPEG,
-                           _ERROR_NAMES.get(-rc, f"native index error {-rc}"))
-    out = []
-    for i, (job, clean, bit_off, dc, mcu_idx, sym_count, _k) in enumerate(built):
-        n = job.n_found
-        out.append((clean[:clean_lens[i]], bit_off[:n], dc[:n],
-                    mcu_idx[:n], sym_count[:n]))
-    return out
+    return _index_scan_simd(params_list, min_symbols, 16,
+                            _lib.rjt_index_scan16)
 
 
 def pack_bits(clean: np.ndarray, dense: np.ndarray, word_off: np.ndarray,

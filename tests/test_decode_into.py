@@ -151,6 +151,25 @@ def test_decode_into_undersized_buffer(decoder, fixtures):
     assert ei.value.status == Status.INVALID_PARAMETER
 
 
+def test_decode_into_noncontiguous_buffer_rejected(decoder, fixtures):
+    """A non-contiguous destination view must be REJECTED: reshape(-1)
+    would copy and the write would silently land in the copy, not the
+    caller's memory (pitch is how padded layouts are expressed here)."""
+    data = fixtures["420"]
+    ref = golden.decode(data, OutputFormat.Y)
+    h, row = _dims(ref[0][0])
+    frame = np.zeros((h, row + 32), np.uint8)
+    view = frame[:, :row]  # writable but non-contiguous
+    dest = DecodedImage.empty()
+    dest.channel[0] = view
+    dest.pitch[0] = row
+    with pytest.raises(RocJpegError) as ei:
+        decoder.decode_into(api.JpegStream(data), dest,
+                            DecodeParams(output_format=OutputFormat.Y))
+    assert ei.value.status == Status.INVALID_PARAMETER
+    assert not frame.any()  # nothing was written anywhere
+
+
 def test_decode_into_readonly_buffer(decoder, fixtures):
     data = fixtures["420"]
     ref = golden.decode(data, OutputFormat.Y)
