@@ -1387,6 +1387,13 @@ long idx_walk16(RjtIndexJob** jobs, const IdxBanks& tb,
   alignas(64) int32_t comp_tbl_a[16] = {0};
   for (int i = 0; i < nslots && i < 16; ++i) comp_tbl_a[i] = tb.comp_of[i];
   const __m512i comp_tbl = _mm512_load_si512((const void*)comp_tbl_a);
+  // sel (bank per slot*2+is_dc, <= 32 entries for nslots <= 16) lives in
+  // two registers: a VPERMT2D replaces a 16-lane gather per symbol.
+  alignas(64) int32_t sel_tbl_a[32] = {0};
+  for (size_t i = 0; i < tb.sel.size() && i < 32; ++i)
+    sel_tbl_a[i] = tb.sel[i];
+  const __m512i sel_lo = _mm512_load_si512((const void*)sel_tbl_a);
+  const __m512i sel_hi = _mm512_load_si512((const void*)(sel_tbl_a + 16));
 
   auto widen_lo = [](__m512i v32) {
     return _mm512_cvtepi32_epi64(_mm512_castsi512_si256(v32));
@@ -1435,7 +1442,7 @@ long idx_walk16(RjtIndexJob** jobs, const IdxBanks& tb,
     __mmask16 is_dc = _mm512_cmpeq_epi32_mask(k, zero);
     __m512i selidx = _mm512_mask_add_epi32(
         _mm512_add_epi32(s, s), is_dc, _mm512_add_epi32(s, s), c1);
-    __m512i bank = _mm512_i32gather_epi32(selidx, tb.sel.data(), 4);
+    __m512i bank = _mm512_permutex2var_epi32(sel_lo, selidx, sel_hi);
     __m512i entidx = _mm512_add_epi32(_mm512_slli_epi32(bank, 12),
                                       _mm512_srli_epi32(w16, 4));
     __m512i ent = _mm512_i32gather_epi32(entidx, tb.t12.data(), 2);
