@@ -1122,6 +1122,22 @@ long idx_walk8(RjtIndexJob** jobs, const IdxBanks& tb,
       3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
       3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
 
+  // Register-resident sel/comp tables for the common nslots <= 8 case
+  // (every standard subsampling: 420 has 6 slots, 411 6, 444 3, 400 1):
+  // two VPERMD + a blend replace the per-symbol sel gather, one VPERMD
+  // the comp gather. Exotic streams with more slots keep the gathers.
+  const bool use_perm = nslots <= 8;
+  alignas(32) int32_t sel_a[16] = {0};
+  alignas(32) int32_t comp_a[8] = {0};
+  if (use_perm) {
+    for (size_t i = 0; i < tb.sel.size() && i < 16; ++i) sel_a[i] = tb.sel[i];
+    for (int i = 0; i < nslots; ++i) comp_a[i] = tb.comp_of[i];
+  }
+  const __m256i sel_lo = _mm256_load_si256((const __m256i*)sel_a);
+  const __m256i sel_hi = _mm256_load_si256((const __m256i*)(sel_a + 8));
+  const __m256i comp_tbl = _mm256_load_si256((const __m256i*)comp_a);
+  const __m256i c7 = _mm256_set1_epi32(7);
+
   auto widen_lo = [](__m256i v32) {  // lanes 0..3 of 8 x i32 -> 4 x i64
     return _mm256_cvtepi32_epi64(_mm256_castsi256_si128(v32));
   };
@@ -1182,7 +1198,14 @@ long idx_walk8(RjtIndexJob** jobs, const IdxBanks& tb,
     __m256i is_dc = _mm256_cmpeq_epi32(k, _mm256_setzero_si256());
     __m256i selidx = _mm256_sub_epi32(
         _mm256_add_epi32(s, s), is_dc);  // s*2 + (k==0 ? 1 : 0)
-    __m256i bank = _mm256_i32gather_epi32(tb.sel.data(), selidx, 4);
+    __m256i bank;
+    if (use_perm) {
+      __m256i lo = _mm256_permutevar8x32_epi32(sel_lo, selidx);
+      __m256i hi = _mm256_permutevar8x32_epi32(sel_hi, selidx);
+      bank = _mm256_blendv_epi8(lo, hi, _mm256_cmpgt_epi32(selidx, c7));
+    } else {
+      bank = _mm256_i32gather_epi32(tb.sel.data(), selidx, 4);
+    }
     __m256i entidx = _mm256_add_epi32(_mm256_slli_epi32(bank, 12),
                                       _mm256_srli_epi32(w16, 4));
     __m256i ent = _mm256_i32gather_epi32((const int*)tb.t12.data(),
@@ -1226,7 +1249,9 @@ long idx_walk8(RjtIndexJob** jobs, const IdxBanks& tb,
     __m256i neg = _mm256_cmpgt_epi32(half, mag);  // mag < half
     __m256i e = _mm256_sub_epi32(mag, _mm256_and_si256(neg, szmask));
     e = _mm256_and_si256(_mm256_and_si256(e, is_dc), active);
-    __m256i comp = _mm256_i32gather_epi32(tb.comp_of.data(), s, 4);
+    __m256i comp = use_perm
+        ? _mm256_permutevar8x32_epi32(comp_tbl, s)
+        : _mm256_i32gather_epi32(tb.comp_of.data(), s, 4);
     for (int c = 0; c < 3; ++c) {
       __m256i cm = _mm256_cmpeq_epi32(comp, _mm256_set1_epi32(c));
       dc[c] = _mm256_add_epi32(dc[c], _mm256_and_si256(e, cm));
