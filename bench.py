@@ -355,8 +355,13 @@ def main():
     elif leg == "dri0":
         datas = build_corpus(n_images, w, h, seed=1, ri_mcus=0)
     elif leg == "mug":
+        # Batch 32 (vs 16 for the synthetic legs): with DRI=0 the host
+        # index walk is the bound, and a 32-stream batch lets each submit
+        # thread drive the dual-group AVX-512 walker (rjt_index_scan32) on
+        # its core — the batch size is a harness parameter exactly as the
+        # reference's -b flag is (jpegdecodeperf.cpp:228-258).
         mug = open("/root/reference/data/images/mug_420.jpg", "rb").read()
-        datas = [mug] * 8
+        datas = [mug] * 32
         iters = max(4, iters // 2)
         w, h = 3840, 2160
     elif leg == "mixed":

@@ -577,12 +577,20 @@ namespace {
 //   bits 5..11  k advance: DC = 1; AC = run+1, ZRL = 16, EOB = 64
 //   bits 12..15 magnitude size (DC only — the walker tracks DC predictors)
 // 0 = invalid code / resolve via level 2.
+// Level-1 LUT width for the index walkers: codes with length <= RJT_L1_BITS
+// resolve in one gather; longer codes fall back to the 16-bit table. The
+// level-1 working set is 4 banks x (1 << RJT_L1_BITS) x 2 bytes — it must
+// share the 32 KiB L1D with the 16 streaming refill windows.
+#ifndef RJT_L1_BITS
+#define RJT_L1_BITS 12
+#endif
+
 struct FusedIdxLut {
   std::vector<uint16_t> t12;
   std::vector<uint16_t> t16;
 
   int build(const uint8_t* bits, const uint8_t* values, bool is_dc) {
-    t12.assign(1u << 12, 0);
+    t12.assign(1u << RJT_L1_BITS, 0);
     t16.assign(1u << 16, 0);
     uint32_t code = 0;
     int k = 0;
@@ -603,9 +611,9 @@ struct FusedIdxLut {
         uint32_t lo16 = code << (16 - length);
         uint32_t hi16 = lo16 + (1u << (16 - length));
         for (uint32_t w = lo16; w < hi16; ++w) t16[w] = ent;
-        if (length <= 12) {
-          uint32_t lo12 = code << (12 - length);
-          uint32_t hi12 = lo12 + (1u << (12 - length));
+        if (length <= RJT_L1_BITS) {
+          uint32_t lo12 = code << (RJT_L1_BITS - length);
+          uint32_t hi12 = lo12 + (1u << (RJT_L1_BITS - length));
           for (uint32_t w = lo12; w < hi12; ++w) t12[w] = ent;
         }
         ++code;
@@ -648,6 +656,9 @@ long unstuff_scan(const uint8_t* data, long n, uint8_t* clean) {
     clean[out++] = 0xFF;  // lone/terminal 0xFF copied as data
     ++s;
   }
+  // Zero the 8-byte slack the walkers' clamped refill reads past the end,
+  // so callers may hand in POOLED (dirty) buffers instead of fresh zeros.
+  std::memset(clean + out, 0, 8);
   return out;
 }
 
@@ -794,7 +805,7 @@ inline int idx_step(IdxState& st, const uint16_t* const* p12,
   bool is_dc = (st.k == 0);
   int tsel = st.s * 2 + (int)is_dc;
   uint32_t w16 = (uint32_t)(st.acc >> 48);
-  uint32_t ent = p12[tsel][w16 >> 4];
+  uint32_t ent = p12[tsel][w16 >> (16 - RJT_L1_BITS)];
   if (__builtin_expect(ent == 0, 0)) {
     ent = p16[tsel][w16];
     if (ent == 0) return -RJT_INVALID_CODE;
@@ -1000,7 +1011,7 @@ namespace {
 
 struct IdxBanks {
   // Fused LUT banks, contiguous for gathers: bank b level-1 at
-  // t12[b*4096], level-2 at t16[b*65536]. sel[slot*2 + is_dc] = bank.
+  // t12[b << RJT_L1_BITS], level-2 at t16[b*65536]. sel[slot*2+is_dc]=bank.
   std::vector<uint16_t> t12;
   std::vector<uint16_t> t16;
   std::vector<int32_t> sel;
@@ -1034,7 +1045,7 @@ struct IdxBanks {
     }
     nslots = (int)comp_of.size();
 
-    t12.assign(banks.size() * 4096 + 2, 0);  // +2: gather reads 32 bits
+    t12.assign((banks.size() << RJT_L1_BITS) + 4, 0);  // +4: 64-bit gather
     t16.assign(banks.size() * 65536 + 2, 0);
     FusedIdxLut lut;
     for (size_t b = 0; b < banks.size(); ++b) {
@@ -1047,7 +1058,8 @@ struct IdxBanks {
       if (!bits) return -RJT_BAD_HUFFMAN_TABLE;
       if (lut.build(bits, vals, banks[b].is_dc))
         return -RJT_BAD_HUFFMAN_TABLE;
-      std::memcpy(t12.data() + b * 4096, lut.t12.data(), 4096 * 2);
+      std::memcpy(t12.data() + (b << RJT_L1_BITS), lut.t12.data(),
+                  (size_t)2 << RJT_L1_BITS);
       std::memcpy(t16.data() + b * 65536, lut.t16.data(), 65536 * 2);
     }
     return 0;
@@ -1206,8 +1218,9 @@ long idx_walk8(RjtIndexJob** jobs, const IdxBanks& tb,
     } else {
       bank = _mm256_i32gather_epi32(tb.sel.data(), selidx, 4);
     }
-    __m256i entidx = _mm256_add_epi32(_mm256_slli_epi32(bank, 12),
-                                      _mm256_srli_epi32(w16, 4));
+    __m256i entidx = _mm256_add_epi32(
+        _mm256_slli_epi32(bank, RJT_L1_BITS),
+        _mm256_srli_epi32(w16, 16 - RJT_L1_BITS));
     __m256i ent = _mm256_i32gather_epi32((const int*)tb.t12.data(),
                                          entidx, 2);
     ent = _mm256_and_si256(ent, _mm256_set1_epi32(0xFFFF));
@@ -1361,132 +1374,173 @@ struct Lane16 {
   bool done = false;
 };
 
-long idx_walk16(RjtIndexJob** jobs, const IdxBanks& tb,
-                long* clean_lens_out) {
-  const int total = jobs[0]->total_mcus;
-  const long S = jobs[0]->min_symbols > 0 ? jobs[0]->min_symbols : (1L << 60);
-  const int nslots = tb.nslots;
+// Read-only per-call tables/constants shared by every group of 16 lanes.
+struct W16Shared {
+  const uint16_t* t12;
+  const uint16_t* t16;
+  __m512i comp_tbl, sel_lo, sel_hi;
+  __m512i vtotal, vnslots1, vS;
+  __m512i zero, c1, c32, c63, bsw;
+  int total;
+  long S;
 
+  void init(const IdxBanks& tb, int total_, long S_) {
+    t12 = tb.t12.data();
+    t16 = tb.t16.data();
+    total = total_;
+    S = S_;
+    zero = _mm512_setzero_si512();
+    c1 = _mm512_set1_epi32(1);
+    c32 = _mm512_set1_epi32(32);
+    c63 = _mm512_set1_epi32(63);
+    vtotal = _mm512_set1_epi32(total_);
+    vnslots1 = _mm512_set1_epi32(tb.nslots - 1);
+    vS = _mm512_set1_epi32((int)std::min(S_, (long)INT32_MAX));
+    bsw = _mm512_broadcast_i32x4(
+        _mm_setr_epi8(3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12));
+    // comp_of fits one register (T.81: sum of h*v sampling factors <= 10).
+    alignas(64) int32_t comp_tbl_a[16] = {0};
+    for (int i = 0; i < tb.nslots && i < 16; ++i)
+      comp_tbl_a[i] = tb.comp_of[i];
+    comp_tbl = _mm512_load_si512((const void*)comp_tbl_a);
+    // sel (bank per slot*2+is_dc, <= 32 entries for nslots <= 16) lives in
+    // two registers: a VPERMT2D replaces a 16-lane gather per symbol.
+    alignas(64) int32_t sel_tbl_a[32] = {0};
+    for (size_t i = 0; i < tb.sel.size() && i < 32; ++i)
+      sel_tbl_a[i] = tb.sel[i];
+    sel_lo = _mm512_load_si512((const void*)sel_tbl_a);
+    sel_hi = _mm512_load_si512((const void*)(sel_tbl_a + 16));
+  }
+};
+
+// One SIMD group: 16 streams walked in lockstep. The hot state lives in
+// __m512i members that GCC registerizes when the group is a local whose
+// address never escapes (step() and the event block are fully inlined).
+//
+// Stream positions are u32 OFFSETS from one shared base pointer (init
+// verifies every clean buffer lands within 4 GiB of the lowest — true for
+// any one allocator arena; callers fall back to the pair walker when not):
+// one 16-lane VPGATHERDD serves the refill instead of two 8-lane VPGATHERQD
+// plus an insert, and pos/end take one register each instead of two.
+struct W16Group {
+  __m512i acc_lo, acc_hi;        // u64 top-justified bit windows
+  __m512i spos;                  // u32 offset (from base) of the word in
+                                 // `stage` = next word to append to acc
+  __m512i end;                   // u32 clamp (8B zero slack beyond)
+  __m512i stage;                 // pre-gathered (bswapped) word at spos:
+                                 // loaded one iteration AHEAD so the
+                                 // gather latency sits off the acc chain
+  __m512i bits, k, s, m, syms;
+  __m512i dc[3];
+  __mmask16 active;
+  const uint8_t* base;
   Lane16 lanes[16];
-  alignas(64) int64_t base_a[16], end_a[16];
+  alignas(64) uint32_t base_a[16];
   long clean_lens[16];
-  for (int l = 0; l < 16; ++l) {
-    RjtIndexJob& j = *jobs[l];
-    long cl = unstuff_scan(j.scan, j.scan_len, j.clean);
-    if (cl < 0) return -RJT_BAD_SEGMENTS;
-    clean_lens[l] = cl;
-    clean_lens_out[l] = cl;
-    lanes[l] = Lane16{&j, 1, false};
-    base_a[l] = (int64_t)(uintptr_t)j.clean;
-    end_a[l] = base_a[l] + cl;  // clamp target; buffer has 8B zero slack
-    j.bit_off[0] = 0;
-    j.mcu_idx[0] = 0;
-    j.dc_out[0] = j.dc_out[1] = j.dc_out[2] = 0;
+  int iter_since_check;
+
+  int init(RjtIndexJob** jobs, long* clean_lens_out) {
+    alignas(64) uint32_t end_a[16];
+    const uint8_t* lo = jobs[0]->clean;
+    for (int l = 1; l < 16; ++l)
+      if (jobs[l]->clean < lo) lo = jobs[l]->clean;
+    base = lo;
+    for (int l = 0; l < 16; ++l) {
+      RjtIndexJob& j = *jobs[l];
+      long cl = unstuff_scan(j.scan, j.scan_len, j.clean);
+      if (cl < 0) return -RJT_BAD_SEGMENTS;
+      // u32 offsets must reach the buffer end plus the 4-byte slack load.
+      if ((uintptr_t)(j.clean - base) + cl + 8 > 0xFFFFFFFFull)
+        return -RJT_BAD_SEGMENTS;  // callers fall back to the pair walker
+      clean_lens[l] = cl;
+      clean_lens_out[l] = cl;
+      lanes[l] = Lane16{&j, 1, false};
+      base_a[l] = (uint32_t)(j.clean - base);
+      end_a[l] = base_a[l] + (uint32_t)cl;
+      j.bit_off[0] = 0;
+      j.mcu_idx[0] = 0;
+      j.dc_out[0] = j.dc_out[1] = j.dc_out[2] = 0;
+    }
+    acc_lo = acc_hi = _mm512_setzero_si512();
+    spos = _mm512_load_si512((const void*)base_a);
+    end = _mm512_load_si512((const void*)end_a);
+    const __m512i bsw = _mm512_broadcast_i32x4(
+        _mm_setr_epi8(3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8,
+                      15, 14, 13, 12));
+    stage = _mm512_shuffle_epi8(
+        _mm512_i32gather_epi32(_mm512_min_epu32(spos, end), base, 1), bsw);
+    bits = k = s = m = syms = _mm512_setzero_si512();
+    dc[0] = dc[1] = dc[2] = _mm512_setzero_si512();
+    active = 0xFFFF;
+    iter_since_check = 0;
+    return 0;
   }
 
-  __m512i acc_lo = _mm512_setzero_si512();  // lanes 0..7 (u64 windows)
-  __m512i acc_hi = _mm512_setzero_si512();  // lanes 8..15
-  __m512i pos_lo = _mm512_load_si512((const void*)base_a);
-  __m512i pos_hi = _mm512_load_si512((const void*)(base_a + 8));
-  const __m512i end_lo = _mm512_load_si512((const void*)end_a);
-  const __m512i end_hi = _mm512_load_si512((const void*)(end_a + 8));
-  __m512i bits = _mm512_setzero_si512();
-  __m512i k = _mm512_setzero_si512();
-  __m512i s = _mm512_setzero_si512();
-  __m512i m = _mm512_setzero_si512();
-  __m512i syms = _mm512_setzero_si512();
-  __m512i dc[3] = {_mm512_setzero_si512(), _mm512_setzero_si512(),
-                   _mm512_setzero_si512()};
-  __mmask16 active = 0xFFFF;
+  // One symbol in each active lane. Returns 0, or -err.
+  __attribute__((always_inline)) inline int step(const W16Shared& sh) {
+    auto widen_lo = [](__m512i v32) {
+      return _mm512_cvtepi32_epi64(_mm512_castsi512_si256(v32));
+    };
+    auto widen_hi = [](__m512i v32) {
+      return _mm512_cvtepi32_epi64(_mm512_extracti64x4_epi64(v32, 1));
+    };
+    auto widenu_lo = [](__m256i v32) { return _mm512_cvtepu32_epi64(v32); };
+    auto narrow = [](__m512i lo64, __m512i hi64) {
+      __m256i a = _mm512_cvtepi64_epi32(lo64);
+      __m256i b = _mm512_cvtepi64_epi32(hi64);
+      return _mm512_inserti64x4(_mm512_castsi256_si512(a), b, 1);
+    };
 
-  const __m512i zero = _mm512_setzero_si512();
-  const __m512i c1 = _mm512_set1_epi32(1);
-  const __m512i c32 = _mm512_set1_epi32(32);
-  const __m512i c63 = _mm512_set1_epi32(63);
-  const __m512i vtotal = _mm512_set1_epi32(total);
-  const __m512i vnslots1 = _mm512_set1_epi32(nslots - 1);
-  const __m512i vS = _mm512_set1_epi32((int)std::min(S, (long)INT32_MAX));
-  const __m512i bsw = _mm512_broadcast_i32x4(
-      _mm_setr_epi8(3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12));
-  // comp_of fits one register (T.81: sum of h*v sampling factors <= 10).
-  alignas(64) int32_t comp_tbl_a[16] = {0};
-  for (int i = 0; i < nslots && i < 16; ++i) comp_tbl_a[i] = tb.comp_of[i];
-  const __m512i comp_tbl = _mm512_load_si512((const void*)comp_tbl_a);
-  // sel (bank per slot*2+is_dc, <= 32 entries for nslots <= 16) lives in
-  // two registers: a VPERMT2D replaces a 16-lane gather per symbol.
-  alignas(64) int32_t sel_tbl_a[32] = {0};
-  for (size_t i = 0; i < tb.sel.size() && i < 32; ++i)
-    sel_tbl_a[i] = tb.sel[i];
-  const __m512i sel_lo = _mm512_load_si512((const void*)sel_tbl_a);
-  const __m512i sel_hi = _mm512_load_si512((const void*)(sel_tbl_a + 16));
-
-  auto widen_lo = [](__m512i v32) {
-    return _mm512_cvtepi32_epi64(_mm512_castsi512_si256(v32));
-  };
-  auto widen_hi = [](__m512i v32) {
-    return _mm512_cvtepi32_epi64(_mm512_extracti64x4_epi64(v32, 1));
-  };
-  auto widenu_lo = [](__m256i v32) { return _mm512_cvtepu32_epi64(v32); };
-  auto narrow = [](__m512i lo64, __m512i hi64) {
-    __m256i a = _mm512_cvtepi64_epi32(lo64);
-    __m256i b = _mm512_cvtepi64_epi32(hi64);
-    return _mm512_inserti64x4(_mm512_castsi256_si512(a), b, 1);
-  };
-
-  int iter_since_check = 0;
-  for (;;) {
-    if (!active) break;
-
-    // ---- branchless refill: one 32-bit gather per 8-lane half ----
+    // ---- decoupled refill: append the PRE-GATHERED `stage` word (only
+    // shifts/ors on the acc chain), then re-gather the next stage word at
+    // the bottom — its ~25-cycle load latency overlaps this iteration's
+    // decode instead of serializing ahead of the peek. ----
     __mmask16 need = _mm512_mask_cmplt_epi32_mask(
         active, bits, _mm512_set1_epi32(33));
     __mmask8 need_lo = (__mmask8)(need & 0xFF);
     __mmask8 need_hi = (__mmask8)(need >> 8);
-    __m512i rp_lo = _mm512_min_epu64(pos_lo, end_lo);
-    __m512i rp_hi = _mm512_min_epu64(pos_hi, end_hi);
-    __m256i wlo = _mm512_i64gather_epi32(rp_lo, (const void*)0, 1);
-    __m256i whi = _mm512_i64gather_epi32(rp_hi, (const void*)0, 1);
-    __m512i w = _mm512_inserti64x4(_mm512_castsi256_si512(wlo), whi, 1);
-    w = _mm512_shuffle_epi8(w, bsw);
-    __m512i sh32 = _mm512_and_si512(_mm512_sub_epi32(c32, bits), c63);
-    __m512i add_lo = _mm512_sllv_epi64(widenu_lo(_mm512_castsi512_si256(w)),
-                                       widen_lo(sh32));
+    __m512i sh32 = _mm512_and_si512(_mm512_sub_epi32(sh.c32, bits), sh.c63);
+    __m512i add_lo = _mm512_sllv_epi64(
+        widenu_lo(_mm512_castsi512_si256(stage)), widen_lo(sh32));
     __m512i add_hi = _mm512_sllv_epi64(
-        widenu_lo(_mm512_extracti64x4_epi64(w, 1)), widen_hi(sh32));
+        widenu_lo(_mm512_extracti64x4_epi64(stage, 1)), widen_hi(sh32));
     acc_lo = _mm512_mask_or_epi64(acc_lo, need_lo, acc_lo, add_lo);
     acc_hi = _mm512_mask_or_epi64(acc_hi, need_hi, acc_hi, add_hi);
-    bits = _mm512_mask_add_epi32(bits, need, bits, c32);
-    pos_lo = _mm512_mask_add_epi64(pos_lo, need_lo, pos_lo,
-                                   _mm512_set1_epi64(4));
-    pos_hi = _mm512_mask_add_epi64(pos_hi, need_hi, pos_hi,
-                                   _mm512_set1_epi64(4));
+    bits = _mm512_mask_add_epi32(bits, need, bits, sh.c32);
+    spos = _mm512_mask_add_epi32(spos, need, spos, _mm512_set1_epi32(4));
+    // Reload stage for every lane (non-consuming lanes re-fetch the same
+    // word — identical value, so no merge mask is needed).
+    __m512i rp = _mm512_min_epu32(spos, end);
+    stage = _mm512_shuffle_epi8(_mm512_i32gather_epi32(rp, base, 1),
+                                sh.bsw);
 
-    // ---- peek16 + fused LUT gather ----
-    __m512i w16 = narrow(_mm512_srli_epi64(acc_lo, 48),
-                         _mm512_srli_epi64(acc_hi, 48));
-    __mmask16 is_dc = _mm512_cmpeq_epi32_mask(k, zero);
+    // ---- peek + fused LUT gather (w16/entidx both derive from ONE
+    // narrow of the accs' top 32 bits; a 64-bit-index VPGATHERQQ variant
+    // that skips the narrow measured SLOWER — two 8-lane gathers cost
+    // more throughput than the narrow costs latency) ----
+    __m512i w32 = narrow(_mm512_srli_epi64(acc_lo, 32),
+                         _mm512_srli_epi64(acc_hi, 32));
+    __mmask16 is_dc = _mm512_cmpeq_epi32_mask(k, sh.zero);
     __m512i selidx = _mm512_mask_add_epi32(
-        _mm512_add_epi32(s, s), is_dc, _mm512_add_epi32(s, s), c1);
-    __m512i bank = _mm512_permutex2var_epi32(sel_lo, selidx, sel_hi);
-    __m512i entidx = _mm512_add_epi32(_mm512_slli_epi32(bank, 12),
-                                      _mm512_srli_epi32(w16, 4));
-    __m512i ent = _mm512_i32gather_epi32(entidx, tb.t12.data(), 2);
+        _mm512_add_epi32(s, s), is_dc, _mm512_add_epi32(s, s), sh.c1);
+    __m512i bank = _mm512_permutex2var_epi32(sh.sel_lo, selidx, sh.sel_hi);
+    __m512i entidx = _mm512_add_epi32(
+        _mm512_slli_epi32(bank, RJT_L1_BITS),
+        _mm512_srli_epi32(w32, 32 - RJT_L1_BITS));
+    __m512i ent = _mm512_i32gather_epi32(entidx, sh.t12, 2);
     ent = _mm512_and_si512(ent, _mm512_set1_epi32(0xFFFF));
 
-    // Level-2 fallback / invalid code: rare -> scalar per lane.
-    __mmask16 miss = _mm512_mask_cmpeq_epi32_mask(active, ent, zero);
+    // Level-2 fallback (code length > RJT_L1_BITS) / invalid code: rare,
+    // and vectorized — one masked gather into the 16-bit table instead of
+    // a scalar per-lane loop, so a miss costs ~one L2 load, not a flush.
+    __mmask16 miss = _mm512_mask_cmpeq_epi32_mask(active, ent, sh.zero);
     if (__builtin_expect(miss, 0)) {
-      alignas(64) int32_t w16_a[16], bank_a[16], ent_a[16];
-      _mm512_store_si512((void*)w16_a, w16);
-      _mm512_store_si512((void*)bank_a, bank);
-      _mm512_store_si512((void*)ent_a, ent);
-      for (int l = 0; l < 16; ++l) {
-        if (!(miss & (1u << l))) continue;
-        uint32_t e2 = tb.t16[(size_t)bank_a[l] * 65536 + (uint32_t)w16_a[l]];
-        if (e2 == 0) return -RJT_INVALID_CODE;
-        ent_a[l] = (int32_t)e2;
-      }
-      ent = _mm512_load_si512((const void*)ent_a);
+      __m512i idx2 = _mm512_add_epi32(_mm512_slli_epi32(bank, 16),
+                                      _mm512_srli_epi32(w32, 16));
+      ent = _mm512_mask_i32gather_epi32(ent, miss, idx2, sh.t16, 2);
+      ent = _mm512_and_si512(ent, _mm512_set1_epi32(0xFFFF));
+      if (_mm512_mask_cmpeq_epi32_mask(miss, ent, sh.zero))
+        return -RJT_INVALID_CODE;
     }
 
     __m512i skip = _mm512_maskz_and_epi32(active, ent,
@@ -1496,16 +1550,14 @@ long idx_walk16(RjtIndexJob** jobs, const IdxBanks& tb,
     __m512i size = _mm512_srli_epi32(ent, 12);
 
     // ---- DC predictor update (masked; AC lanes have size == 0) ----
-    __m512i w32 = narrow(_mm512_srli_epi64(acc_lo, 32),
-                         _mm512_srli_epi64(acc_hi, 32));
-    __m512i mag = _mm512_srlv_epi32(w32, _mm512_sub_epi32(c32, skip));
-    __m512i szmask = _mm512_sub_epi32(_mm512_sllv_epi32(c1, size), c1);
+    __m512i mag = _mm512_srlv_epi32(w32, _mm512_sub_epi32(sh.c32, skip));
+    __m512i szmask = _mm512_sub_epi32(_mm512_sllv_epi32(sh.c1, size), sh.c1);
     mag = _mm512_and_si512(mag, szmask);
-    __m512i half = _mm512_srli_epi32(_mm512_add_epi32(szmask, c1), 1);
+    __m512i half = _mm512_srli_epi32(_mm512_add_epi32(szmask, sh.c1), 1);
     __mmask16 neg = _mm512_cmplt_epi32_mask(mag, half);
     __m512i e = _mm512_mask_sub_epi32(mag, neg, mag, szmask);
     __mmask16 dcm = (__mmask16)(is_dc & active);
-    __m512i comp = _mm512_permutexvar_epi32(s, comp_tbl);
+    __m512i comp = _mm512_permutexvar_epi32(s, sh.comp_tbl);
     for (int c = 0; c < 3; ++c) {
       __mmask16 cm = _mm512_mask_cmpeq_epi32_mask(
           dcm, comp, _mm512_set1_epi32(c));
@@ -1519,45 +1571,45 @@ long idx_walk16(RjtIndexJob** jobs, const IdxBanks& tb,
 
     // ---- state transitions (mask ops) ----
     __m512i kn = _mm512_add_epi32(k, adv);
-    __mmask16 bd = _mm512_cmpgt_epi32_mask(kn, c63);
+    __mmask16 bd = _mm512_cmpgt_epi32_mask(kn, sh.c63);
     k = _mm512_maskz_mov_epi32(~bd, kn);
-    s = _mm512_mask_add_epi32(s, bd, s, c1);
-    __mmask16 md = _mm512_cmpgt_epi32_mask(s, vnslots1);
+    s = _mm512_mask_add_epi32(s, bd, s, sh.c1);
+    __mmask16 md = _mm512_cmpgt_epi32_mask(s, sh.vnslots1);
     s = _mm512_maskz_mov_epi32(~md, s);
-    m = _mm512_mask_add_epi32(m, md, m, c1);
-    syms = _mm512_mask_add_epi32(syms, active, syms, c1);
+    m = _mm512_mask_add_epi32(m, md, m, sh.c1);
+    syms = _mm512_mask_add_epi32(syms, active, syms, sh.c1);
 
     // ---- rare events: record / completion / bounds (scalar) ----
-    __mmask16 fin = _mm512_mask_cmp_epi32_mask(md, m, vtotal,
-                                               _MM_CMPINT_NLT);  // m >= total
-    __mmask16 want_rec = _mm512_mask_cmp_epi32_mask(md, syms, vS,
+    __mmask16 fin = _mm512_mask_cmp_epi32_mask(md, m, sh.vtotal,
+                                               _MM_CMPINT_NLT);  // m>=total
+    __mmask16 want_rec = _mm512_mask_cmp_epi32_mask(md, syms, sh.vS,
                                                     _MM_CMPINT_NLT);
     unsigned evbits = (unsigned)((fin | want_rec) & active);
     if (__builtin_expect(evbits || ++iter_since_check >= 4096, 0)) {
       iter_since_check = 0;
       alignas(64) int32_t m_a[16], syms_a[16], bits_a[16], dc_a[3][16];
-      alignas(64) int64_t pos_a[16];
+      alignas(64) uint32_t pos_a[16];
       _mm512_store_si512((void*)m_a, m);
       _mm512_store_si512((void*)syms_a, syms);
       _mm512_store_si512((void*)bits_a, bits);
       for (int c = 0; c < 3; ++c) _mm512_store_si512((void*)dc_a[c], dc[c]);
-      _mm512_store_si512((void*)pos_a, pos_lo);
-      _mm512_store_si512((void*)(pos_a + 8), pos_hi);
+      _mm512_store_si512((void*)pos_a, spos);
       bool any_change = false;
       alignas(64) int32_t syms_new[16];
       _mm512_store_si512((void*)syms_new, syms);
       for (int l = 0; l < 16; ++l) {
         if (lanes[l].done) continue;
-        int64_t bit_off = (pos_a[l] - base_a[l]) * 8 - bits_a[l];
+        int64_t bit_off =
+            ((int64_t)pos_a[l] - base_a[l]) * 8 - bits_a[l];
         if (bit_off > clean_lens[l] * 8 + 56) return -RJT_SCAN_EXHAUSTED;
-        if (m_a[l] >= total) {
+        if (m_a[l] >= sh.total) {
           RjtIndexJob& j = *lanes[l].job;
           j.sym_count[lanes[l].rec - 1] = syms_a[l];
           j.n_found = lanes[l].rec;
           lanes[l].done = true;
           active = (__mmask16)(active & ~(1u << l));
           any_change = true;
-        } else if ((evbits & (1u << l)) && syms_a[l] >= S) {
+        } else if ((evbits & (1u << l)) && syms_a[l] >= sh.S) {
           RjtIndexJob& j = *lanes[l].job;
           if (lanes[l].rec >= j.n_records) return -RJT_BAD_SEGMENTS;
           j.sym_count[lanes[l].rec - 1] = syms_a[l];
@@ -1574,6 +1626,45 @@ long idx_walk16(RjtIndexJob** jobs, const IdxBanks& tb,
       if (any_change)
         syms = _mm512_load_si512((const void*)syms_new);
     }
+    return 0;
+  }
+};
+
+long idx_walk16(RjtIndexJob** jobs, const IdxBanks& tb,
+                long* clean_lens_out) {
+  const long S = jobs[0]->min_symbols > 0 ? jobs[0]->min_symbols : (1L << 60);
+  W16Shared sh;
+  sh.init(tb, jobs[0]->total_mcus, S);
+  W16Group g;
+  int rc = g.init(jobs, clean_lens_out);
+  if (rc) return rc;
+  while (g.active) {
+    if ((rc = g.step(sh))) return rc;
+  }
+  return 0;
+}
+
+// TWO groups of 16 interleaved on one core: the per-step critical chain
+// (acc -> window -> LUT gather -> skip -> acc) is ~40+ cycles of latency
+// that one group cannot fill; issuing a second independent group's chain
+// into the same out-of-order window overlaps them (measured ~1.5x one
+// group's 32-stream aggregate on Skylake-SP; see docs/performance.md).
+long idx_walk16x2(RjtIndexJob** jobs_a, RjtIndexJob** jobs_b,
+                  const IdxBanks& tb, long* clean_a, long* clean_b) {
+  const long S =
+      jobs_a[0]->min_symbols > 0 ? jobs_a[0]->min_symbols : (1L << 60);
+  W16Shared sh;
+  sh.init(tb, jobs_a[0]->total_mcus, S);
+  W16Group ga, gb;
+  int rc = ga.init(jobs_a, clean_a);
+  if (rc) return rc;
+  rc = gb.init(jobs_b, clean_b);
+  if (rc) return rc;
+  while (ga.active | gb.active) {
+    // Both groups active is the overwhelmingly common case (same-content
+    // streams finish within ~1 symbol of each other); the tails drain solo.
+    if (ga.active && (rc = ga.step(sh))) return rc;
+    if (gb.active && (rc = gb.step(sh))) return rc;
   }
   return 0;
 }
@@ -1586,35 +1677,54 @@ long idx_walk16(RjtIndexJob** jobs, const IdxBanks& tb,
 // 16-lane sibling of rjt_index_scan8 (same output contract). Returns
 // -RJT_BAD_SEGMENTS when AVX-512 is unavailable or jobs are not uniform —
 // callers then fall back to the 8-lane walker / scalar pair walker.
+namespace {
+
+// Jobs may share one SIMD walk only when they are fully uniform: same
+// geometry, same per-component table ASSIGNMENTS and sampling factors
+// (not just same table contents per id — two streams whose id->contents
+// match but whose component->id mapping differs would silently walk with
+// job 0's bank mapping), and same table contents per id.
+bool jobs_uniform(const RjtIndexJob& a, const RjtIndexJob& b) {
+  if (a.total_mcus != b.total_mcus || a.min_symbols != b.min_symbols ||
+      a.interleaved != b.interleaved ||
+      a.num_components != b.num_components)
+    return false;
+  for (int c = 0; c < a.num_components; ++c) {
+    if (a.h_samp[c] != b.h_samp[c] || a.v_samp[c] != b.v_samp[c] ||
+        a.dc_table[c] != b.dc_table[c] || a.ac_table[c] != b.ac_table[c])
+      return false;
+  }
+  for (int t = 0; t < kMaxTables; ++t) {
+    const uint8_t* pa[4] = {a.dc_bits[t], a.dc_values[t], a.ac_bits[t],
+                            a.ac_values[t]};
+    const uint8_t* pb[4] = {b.dc_bits[t], b.dc_values[t], b.ac_bits[t],
+                            b.ac_values[t]};
+    for (int j = 0; j < 4; ++j) {
+      if ((pa[j] == nullptr) != (pb[j] == nullptr)) return false;
+      if (pa[j] && pa[j] != pb[j] &&
+          std::memcmp(pa[j], pb[j], kTblCmpLen[j]) != 0)
+        return false;
+    }
+  }
+  return true;
+}
+
+bool avx512_ok() {
+  return __builtin_cpu_supports("avx512f") &&
+         __builtin_cpu_supports("avx512bw") &&
+         __builtin_cpu_supports("avx512dq") &&
+         __builtin_cpu_supports("avx512vl");
+}
+
+}  // namespace
+
 long rjt_index_scan16(RjtIndexJob** jobs, long n_jobs,
                       long* clean_lens_out) {
   if (n_jobs != 16) return -RJT_BAD_SEGMENTS;
-  if (!__builtin_cpu_supports("avx512f") ||
-      !__builtin_cpu_supports("avx512bw") ||
-      !__builtin_cpu_supports("avx512dq") ||
-      !__builtin_cpu_supports("avx512vl"))
-    return -RJT_BAD_SEGMENTS;
+  if (!avx512_ok()) return -RJT_BAD_SEGMENTS;
   const RjtIndexJob& a = *jobs[0];
-  for (int l = 1; l < 16; ++l) {
-    const RjtIndexJob& b = *jobs[l];
-    if (a.total_mcus != b.total_mcus || a.min_symbols != b.min_symbols ||
-        a.interleaved != b.interleaved ||
-        a.num_components != b.num_components)
-      return -RJT_BAD_SEGMENTS;
-    for (int t = 0; t < kMaxTables; ++t) {
-      const uint8_t* pa[4] = {a.dc_bits[t], a.dc_values[t], a.ac_bits[t],
-                              a.ac_values[t]};
-      const uint8_t* pb[4] = {b.dc_bits[t], b.dc_values[t], b.ac_bits[t],
-                              b.ac_values[t]};
-      for (int j = 0; j < 4; ++j) {
-        if ((pa[j] == nullptr) != (pb[j] == nullptr))
-          return -RJT_BAD_SEGMENTS;
-        if (pa[j] && pa[j] != pb[j] &&
-            std::memcmp(pa[j], pb[j], kTblCmpLen[j]) != 0)
-          return -RJT_BAD_SEGMENTS;
-      }
-    }
-  }
+  for (int l = 1; l < 16; ++l)
+    if (!jobs_uniform(a, *jobs[l])) return -RJT_BAD_SEGMENTS;
   IdxBanks tb;
   int rc = tb.build(a);
   if (rc) return rc;
@@ -1624,6 +1734,24 @@ long rjt_index_scan16(RjtIndexJob** jobs, long n_jobs,
   // silently wrap the permute index.
   if (tb.nslots > 16) return -RJT_BAD_SEGMENTS;
   return idx_walk16(jobs, tb, clean_lens_out);
+}
+
+// 32-stream walk: two 16-lane AVX-512 groups interleaved on ONE core, so
+// the second group's gather chain fills the first's latency stalls. Same
+// contract and uniformity rules as rjt_index_scan16.
+long rjt_index_scan32(RjtIndexJob** jobs, long n_jobs,
+                      long* clean_lens_out) {
+  if (n_jobs != 32) return -RJT_BAD_SEGMENTS;
+  if (!avx512_ok()) return -RJT_BAD_SEGMENTS;
+  const RjtIndexJob& a = *jobs[0];
+  for (int l = 1; l < 32; ++l)
+    if (!jobs_uniform(a, *jobs[l])) return -RJT_BAD_SEGMENTS;
+  IdxBanks tb;
+  int rc = tb.build(a);
+  if (rc) return rc;
+  if (tb.nslots > 16) return -RJT_BAD_SEGMENTS;
+  return idx_walk16x2(jobs, jobs + 16, tb, clean_lens_out,
+                      clean_lens_out + 16);
 }
 
 // Static CPU capability probe for the 16-lane walker, so callers can pick
@@ -1647,26 +1775,8 @@ long rjt_index_scan8(RjtIndexJob** jobs, long n_jobs,
   if (n_jobs != 8) return -RJT_BAD_SEGMENTS;
   if (!__builtin_cpu_supports("avx2")) return -RJT_BAD_SEGMENTS;
   const RjtIndexJob& a = *jobs[0];
-  for (int l = 1; l < 8; ++l) {
-    const RjtIndexJob& b = *jobs[l];
-    if (a.total_mcus != b.total_mcus || a.min_symbols != b.min_symbols ||
-        a.interleaved != b.interleaved ||
-        a.num_components != b.num_components)
-      return -RJT_BAD_SEGMENTS;
-    for (int t = 0; t < kMaxTables; ++t) {
-      const uint8_t* pa[4] = {a.dc_bits[t], a.dc_values[t], a.ac_bits[t],
-                              a.ac_values[t]};
-      const uint8_t* pb[4] = {b.dc_bits[t], b.dc_values[t], b.ac_bits[t],
-                              b.ac_values[t]};
-      for (int j = 0; j < 4; ++j) {
-        if ((pa[j] == nullptr) != (pb[j] == nullptr))
-          return -RJT_BAD_SEGMENTS;
-        if (pa[j] && pa[j] != pb[j] &&
-            std::memcmp(pa[j], pb[j], kTblCmpLen[j]) != 0)
-          return -RJT_BAD_SEGMENTS;
-      }
-    }
-  }
+  for (int l = 1; l < 8; ++l)
+    if (!jobs_uniform(a, *jobs[l])) return -RJT_BAD_SEGMENTS;
   IdxBanks tb;
   int rc = tb.build(a);
   if (rc) return rc;
@@ -1692,6 +1802,14 @@ long rjt_index_scan16(RjtIndexJob** jobs, long n_jobs,
 }
 
 long rjt_index_scan16_available(void) { return 0; }
+
+long rjt_index_scan32(RjtIndexJob** jobs, long n_jobs,
+                      long* clean_lens_out) {
+  (void)jobs;
+  (void)n_jobs;
+  (void)clean_lens_out;
+  return -RJT_BAD_SEGMENTS;
+}
 
 #endif  // __x86_64__
 

@@ -232,6 +232,55 @@ def _pack_pool():
     return _PACK_POOL
 
 
+class _IdxBufPool:
+    """Free-list of index-job buffer sets, so the per-decode virtual-restart
+    pass reuses its 2+ MiB clean buffers instead of mmap/fault-ing fresh
+    pages every call (~1 ms/image on a 4K DRI=0 scan — the reference's
+    analog is the VA surface pool, vaapi_decoder.cpp:34-281).
+
+    Buffer sets are keyed by bucketed (clean_bytes, n_records) capacity.
+    acquire() returns (token, bufs_list); release(token) returns the set to
+    the pool. Results sliced from pooled buffers must not outlive the
+    release — pack_virtual_segments copies everything it returns."""
+
+    def __init__(self, max_sets: int = 8):
+        import threading
+        self._lock = threading.Lock()
+        self._free = {}  # key -> list of buffer-set lists
+        self._max_sets = max_sets
+
+    def acquire(self, n_jobs, clean_bytes, n_rec):
+        key = (_bucket(max(clean_bytes, 1), 1 << 16),
+               _bucket(max(n_rec, 1), 256))
+        with self._lock:
+            sets = self._free.get(key)
+            if sets:
+                got = sets.pop()
+                if len(got) >= n_jobs:
+                    return (key, got), got[:n_jobs]
+                # Too small a set (larger batch than before): grow it.
+                got.extend(self._alloc(key) for _ in range(n_jobs - len(got)))
+                return (key, got), got[:n_jobs]
+        got = [self._alloc(key) for _ in range(n_jobs)]
+        return (key, got), got
+
+    def _alloc(self, key):
+        cb, nr = key
+        return (np.empty(cb, np.uint8), np.empty(nr, np.int64),
+                np.empty((nr, 3), np.int32), np.empty(nr, np.int32),
+                np.empty(nr, np.int32))
+
+    def release(self, token):
+        key, got = token
+        with self._lock:
+            sets = self._free.setdefault(key, [])
+            if len(sets) < self._max_sets:
+                sets.append(got)
+
+
+_IDX_BUF_POOL = _IdxBufPool()
+
+
 def _bucket(n: int, quantum: int) -> int:
     """Round n up to a power-of-two-ish bucket (1-2-4-... times quantum)."""
     b = quantum
@@ -601,16 +650,42 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
     # in AVX2 (rjt_index_scan8, ~2.3x two interleaved scalar walks);
     # remainders and non-SIMD hosts fall back to the dual-stream scalar
     # walker, which overlaps two streams' dependency chains on one core. ----
+    import threading
+
+    from ..runtime import native as nat
+
+    buf_tokens = []
+    buf_lock = threading.Lock()
+
+    def _chunk_bufs(chunk):
+        """Pooled per-job buffers for one chunk (released at function end;
+        nothing sliced from them escapes — the bookkeeping below copies)."""
+        caps = [nat.index_job_capacities(p, S) for p in chunk]
+        token, bufs = _IDX_BUF_POOL.acquire(
+            len(chunk), max(c[0] for c in caps), max(c[1] for c in caps))
+        with buf_lock:
+            buf_tokens.append(token)
+        return bufs
+
     def _scan_chunk(chunk):
+        if len(chunk) == 32:
+            out = getattr(native, "index_scan32", lambda *a, **k: None)(
+                chunk, S, _chunk_bufs(chunk))
+            if out is not None:
+                return out
+            # Fallback (non-uniform jobs): two 16-lane walks.
+            a = _scan_chunk(chunk[:16])
+            return a + _scan_chunk(chunk[16:])
         if len(chunk) == 16:
-            out = getattr(native, "index_scan16", lambda *a: None)(chunk, S)
+            out = getattr(native, "index_scan16", lambda *a, **k: None)(
+                chunk, S, _chunk_bufs(chunk))
             if out is not None:
                 return out
             # AVX-512 unavailable: split into two 8-lane walks.
             a = _scan_chunk(chunk[:8])
             return a + _scan_chunk(chunk[8:])
         if len(chunk) == 8:
-            out = native.index_scan8(chunk, S)
+            out = native.index_scan8(chunk, S, _chunk_bufs(chunk))
             if out is not None:
                 return out
         out = []
@@ -626,8 +701,17 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
     # 8-lane throughput, i.e. one scan16 ~= two parallel scan8 cores while
     # freeing the second core for other callers' chunks). The capability is
     # a static CPU probe — never build 16 jobs just to be told no.
-    cw = 16 if (B >= 16 and getattr(native, "index_scan16_available",
-                                    lambda: False)()) else 8
+    avx512 = getattr(native, "index_scan16_available", lambda: False)()
+    if avx512 and B >= 32 and hasattr(native, "index_scan32"):
+        # Two interleaved 16-lane groups per call: ~1.5x one core's 16-lane
+        # aggregate (gather-chain overlap). Only when the batch fills whole
+        # 32-wide chunks per pool worker; smaller batches stay at 16 so the
+        # two cores split the work instead of one core walking everything.
+        cw = 32
+    elif avx512 and B >= 16:
+        cw = 16
+    else:
+        cw = 8
     chunks = [params_list[i:i + cw] for i in range(0, B, cw)]
     if len(chunks) > 1:
         scans = [r for rs in _pack_pool().map(_scan_chunk, chunks)
@@ -742,6 +826,11 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
         max_lane_syms=max_syms,
         lane_bank=lane_bank,
     )
+    # Everything sliced from pooled walk buffers has been copied; return
+    # the sets for the next call (on an exception above they are simply
+    # GC'd — the pool hands out fresh ones).
+    for token in buf_tokens:
+        _IDX_BUF_POOL.release(token)
     return packed, dc_flat, lane_of_mcu
 
 

@@ -174,6 +174,11 @@ def _load():
                 ctypes.POINTER(ctypes.POINTER(_RjtIndexJob)),
                 ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
             lib.rjt_index_scan8.restype = ctypes.c_long
+            if hasattr(lib, "rjt_index_scan32"):
+                lib.rjt_index_scan32.argtypes = [
+                    ctypes.POINTER(ctypes.POINTER(_RjtIndexJob)),
+                    ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
+                lib.rjt_index_scan32.restype = ctypes.c_long
             if hasattr(lib, "rjt_index_scan16"):
                 lib.rjt_index_scan16.argtypes = [
                     ctypes.POINTER(ctypes.POINTER(_RjtIndexJob)),
@@ -380,9 +385,31 @@ DENSE_PACK_AVAILABLE = AVAILABLE and hasattr(_lib, "rjt_pack_dense")
 INDEX_AVAILABLE = AVAILABLE and hasattr(_lib, "rjt_index_scan")
 
 
-def _build_index_job(params: JpegStreamParams, min_symbols: int):
+def index_job_capacities(params: JpegStreamParams, min_symbols: int):
+    """(clean_bytes, n_records) buffer capacities one index job needs —
+    the pooling contract for callers that reuse buffers across calls
+    (ops/device_entropy._IdxBufPool)."""
+    ncomp_scan = len(params.scan_components)
+    if ncomp_scan > 1:
+        total = params.num_mcus
+    else:
+        total = (((params.picture_width + 7) // 8)
+                 * (((params.picture_height + 7) // 8)))
+    scan = params.slice_data
+    n_rec = min(total, len(scan) * 8 // max(1, min_symbols)) + 2
+    return len(scan) + 8, n_rec
+
+
+def _build_index_job(params: JpegStreamParams, min_symbols: int, bufs=None):
     """Fill an _RjtIndexJob + output buffers for one stream. Returns
-    (job, clean, bit_off, dc, mcu_idx, sym_count, keepalive)."""
+    (job, clean, bit_off, dc, mcu_idx, sym_count, keepalive).
+
+    ``bufs`` optionally supplies preallocated
+    (clean u8, bit_off i64, dc i32 (n,3), mcu_idx i32, sym_count i32)
+    arrays with capacities >= index_job_capacities(...); the native
+    unstuffer zeroes the walkers' 8-byte slack itself, so pooled (dirty)
+    buffers are safe. Views of these buffers are returned — callers that
+    pool MUST NOT let results outlive the pool's reuse cycle."""
     ncomp_scan = len(params.scan_components)
     interleaved = ncomp_scan > 1
     if interleaved:
@@ -422,13 +449,19 @@ def _build_index_job(params: JpegStreamParams, min_symbols: int):
             keepalive.append(a)
             getattr(job, field)[tid] = a.ctypes.data
 
-    # 8 bytes of zero slack: the branchless walker's refill reads 4 bytes
-    # at a clamped offset <= clean_len.
-    clean = np.zeros(len(scan) + 8, np.uint8)
-    bit_off = np.empty(n_rec, np.int64)
-    dc = np.empty((n_rec, 3), np.int32)
-    mcu_idx = np.empty(n_rec, np.int32)
-    sym_count = np.empty(n_rec, np.int32)
+    if bufs is not None:
+        clean, bit_off, dc, mcu_idx, sym_count = bufs
+        assert len(clean) >= len(scan) + 8 and len(bit_off) >= n_rec
+        clean = clean[:len(scan) + 8]
+    else:
+        # 8 bytes of zero slack: the branchless walker's refill reads 4
+        # bytes at a clamped offset <= clean_len (rjt_unstuff re-zeroes
+        # the slack each call, so this np.zeros is belt-and-braces).
+        clean = np.zeros(len(scan) + 8, np.uint8)
+        bit_off = np.empty(n_rec, np.int64)
+        dc = np.empty((n_rec, 3), np.int32)
+        mcu_idx = np.empty(n_rec, np.int32)
+        sym_count = np.empty(n_rec, np.int32)
     job.clean = clean.ctypes.data
     job.bit_off = bit_off.ctypes.data
     job.dc_out = dc.ctypes.data
@@ -479,12 +512,16 @@ def index_scan2(pa: JpegStreamParams, pb: JpegStreamParams,
             (cb[:lb.value], bob[:nb], dcb[:nb], mib[:nb], scb[:nb])]
 
 
-def _index_scan_simd(params_list, min_symbols: int, n: int, fn):
+def _index_scan_simd(params_list, min_symbols: int, n: int, fn,
+                     bufs_list=None):
     """Shared wrapper for the SIMD n-stream index walkers: builds the n
     jobs, runs the native walker, and slices the per-job outputs. Returns
     None on -RJT_BAD_SEGMENTS (SIMD tier unavailable / non-uniform jobs) —
-    callers fall back to the next-narrower walker."""
-    built = [_build_index_job(p, min_symbols) for p in params_list]
+    callers fall back to the next-narrower walker. ``bufs_list`` optionally
+    supplies per-job pooled buffers (see _build_index_job)."""
+    built = [_build_index_job(p, min_symbols,
+                              bufs_list[i] if bufs_list else None)
+             for i, p in enumerate(params_list)]
     jobs = (ctypes.POINTER(_RjtIndexJob) * n)(
         *[ctypes.pointer(b[0]) for b in built])
     clean_lens = (ctypes.c_long * n)()
@@ -502,7 +539,7 @@ def _index_scan_simd(params_list, min_symbols: int, n: int, fn):
     return out
 
 
-def index_scan8(params_list, min_symbols: int):
+def index_scan8(params_list, min_symbols: int, bufs_list=None):
     """SIMD 8-stream index pass (csrc rjt_index_scan8, AVX2): eight
     same-shape, same-table streams walked in vector lanes — the wave
     kernel's lane model on the host CPU. Returns a list of eight
@@ -512,7 +549,7 @@ def index_scan8(params_list, min_symbols: int):
     if len(params_list) != 8 or not hasattr(_lib, "rjt_index_scan8"):
         return None
     return _index_scan_simd(params_list, min_symbols, 8,
-                            _lib.rjt_index_scan8)
+                            _lib.rjt_index_scan8, bufs_list)
 
 
 @functools.lru_cache(maxsize=1)
@@ -525,7 +562,7 @@ def index_scan16_available() -> bool:
     return bool(_lib.rjt_index_scan16_available())
 
 
-def index_scan16(params_list, min_symbols: int):
+def index_scan16(params_list, min_symbols: int, bufs_list=None):
     """AVX-512 16-stream index pass (csrc rjt_index_scan16): sixteen
     same-shape, same-table streams walked in vector lanes. Returns a list
     of sixteen (clean, bit_off, dc, mcu_idx, sym_count) tuples, or None
@@ -535,7 +572,21 @@ def index_scan16(params_list, min_symbols: int):
             or not index_scan16_available()):
         return None
     return _index_scan_simd(params_list, min_symbols, 16,
-                            _lib.rjt_index_scan16)
+                            _lib.rjt_index_scan16, bufs_list)
+
+
+def index_scan32(params_list, min_symbols: int, bufs_list=None):
+    """32-stream index pass (csrc rjt_index_scan32): TWO 16-lane AVX-512
+    groups interleaved on one core, overlapping the two groups' gather
+    dependency chains in the out-of-order window (~1.5x one group's
+    aggregate; see docs/performance.md). Returns a list of 32
+    (clean, bit_off, dc, mcu_idx, sym_count) tuples, or None when the
+    path is unavailable — callers fall back to two 16-lane walks."""
+    if (len(params_list) != 32 or not hasattr(_lib, "rjt_index_scan32")
+            or not index_scan16_available()):
+        return None
+    return _index_scan_simd(params_list, min_symbols, 32,
+                            _lib.rjt_index_scan32, bufs_list)
 
 
 def pack_bits(clean: np.ndarray, dense: np.ndarray, word_off: np.ndarray,
