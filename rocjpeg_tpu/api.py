@@ -29,6 +29,8 @@ from __future__ import annotations
 import threading
 from typing import List, Optional, Sequence
 
+import numpy as np
+
 import jax
 
 from .core.bitstream import JpegStreamParams, JpegStreamParser
@@ -177,6 +179,10 @@ class Decoder:
         self._max_inflight = 2
         self._inflight: list = []
         self._outstanding = 0
+        # Signals token registration / slot release, so a thread that found
+        # every slot reserved-but-unregistered waits instead of spin-polling
+        # for the whole of another thread's (possibly multi-second) dispatch.
+        self._slot_cv = threading.Condition(self._lock)
 
     @property
     def spec(self) -> TpuDecodeSpec:
@@ -307,7 +313,12 @@ class Decoder:
         if host_decode.native_index_module() is None:
             return None
         import os
-        return max(1, int(os.environ.get("ROCJPEG_TPU_VSYMS", "256")))
+        # Default 768 symbols/lane: fewer virtual lanes means fewer walker
+        # record events, less per-lane host bookkeeping, and a smaller lane
+        # grid on device. Measured on the 4K DRI=0 corpora: ~equal at 256
+        # vs 768 for the wave, ~+15% e2e on the host-bound mug leg at 768;
+        # past ~1k the per-lane VMEM emission buffers stop paying.
+        return max(1, int(os.environ.get("ROCJPEG_TPU_VSYMS", "768")))
 
     def _group_device_eligible(self, plist, virtual_k=None) -> bool:
         """Whether the on-device entropy wave should decode this group."""
@@ -337,18 +348,21 @@ class Decoder:
         draining (blocking on) the oldest outstanding submission when the
         queue is full. Blocking happens OUTSIDE the lock so other threads
         keep packing while this one waits on the device."""
-        import time as _time
         while True:
             with self._lock:
                 if self._outstanding < self._max_inflight:
                     self._outstanding += 1
                     return
                 tok = self._inflight.pop(0) if self._inflight else None
-            if tok is None:
-                # Slots are reserved but their tokens not yet registered
-                # (another thread is mid-dispatch); yield briefly.
-                _time.sleep(0.0005)
-                continue
+                if tok is None:
+                    # Slots are reserved but their tokens not yet registered
+                    # (another thread is mid-dispatch, which can include a
+                    # multi-second host entropy pass): wait for the next
+                    # registration/release instead of spin-polling through
+                    # it. The timeout is belt-and-braces against a lost
+                    # notify; the loop re-checks state either way.
+                    self._slot_cv.wait(timeout=0.05)
+                    continue
             # The popped token owns one reservation; release it even when
             # the program failed asynchronously (block_until_ready raises)
             # — a leaked reservation would hang the handle forever once
@@ -358,14 +372,17 @@ class Decoder:
             finally:
                 with self._lock:
                     self._outstanding -= 1
+                    self._slot_cv.notify_all()
 
     def _register_token(self, tok) -> None:
         with self._lock:
             self._inflight.append(tok)
+            self._slot_cv.notify_all()
 
     def _release_slot(self) -> None:
         with self._lock:
             self._outstanding -= 1
+            self._slot_cv.notify_all()
 
     def synchronize(self) -> None:
         """Drain every outstanding async submission from this handle — the
@@ -383,6 +400,7 @@ class Decoder:
             finally:
                 with self._lock:
                     self._outstanding -= 1
+                    self._slot_cv.notify_all()
 
     def decode(self, stream: JpegStream,
                params: Optional[DecodeParams] = None) -> DecodedImage:
@@ -428,7 +446,9 @@ class Decoder:
                 if img.channel[ci] is None:
                     continue
                 d = chans[ci] if ci < len(chans) else None
-                null_ptr = isinstance(d, int) and d == 0
+                # np.integer included: an np.int64(0) pointer must hit the
+                # null check, not fall through to a memmove to address 0.
+                null_ptr = isinstance(d, (int, np.integer)) and int(d) == 0
                 if d is None or null_ptr:
                     if ci == 0:
                         raise RocJpegError(Status.INVALID_PARAMETER,

@@ -58,11 +58,28 @@ def _pick_r_tile(R: int, n_words: int) -> int:
     measured ~7x slower (the step's fixed overhead stops amortizing).
     vmem_limit_bytes below is raised ONLY as headroom for large-n_words
     packs whose scoped demand lands slightly past 16 MB."""
+    rt = _r_tile_budget(n_words)
+    if R <= rt:
+        return int(R)  # whole-array block (any height is legal)
+    # The grid is R // rt with no remainder handling: rt must divide R,
+    # and a partial tile must stay >= 8 rows (Mosaic's sublane quantum).
+    # pack_virtual_segments pads lanes to a multiple of rt * LANE, so this
+    # loop is a no-op there; it protects other callers.
+    while rt > 8 and R % rt:
+        rt >>= 1
+    if R % rt:
+        return int(R)  # legacy odd R: one whole-array tile
+    return rt
+
+
+def _r_tile_budget(n_words: int) -> int:
+    """VMEM-derived lane-tile height (pow2, >= 8) independent of the lane
+    count — pack_virtual_segments uses this as the lane-padding quantum so
+    the grid divides exactly."""
     budget = 6 * 1024 * 1024
     per_row = n_words * LANE * 4
-    rt = max(1, budget // per_row)
-    rt = 1 << (rt.bit_length() - 1)  # floor pow2
-    return int(min(rt, R))
+    rt = max(8, budget // per_row)
+    return 1 << (rt.bit_length() - 1)  # floor pow2
 
 
 @functools.lru_cache(maxsize=64)

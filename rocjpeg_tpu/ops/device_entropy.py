@@ -744,12 +744,28 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
     lane_starts = []
     acc = 0
     max_syms = 0
+    max_bits = 0
     for clean, bo, dc, mi, sc, eb, em in scans:
         lane_starts.append(acc)
         acc += len(bo)
         if sc.size:
             max_syms = max(max_syms, int(sc.max()))
-    n_pad = _bucket(max(acc, 1), 256)
+        if len(bo):
+            max_bits = max(max_bits, int((np.append(bo[1:], eb) - bo).max()))
+
+    # Word budget per lane: multiple of 8 (the wave's word-slab width),
+    # 1/8-geometric — the pow2 bucket inflated a 160-word budget to 256
+    # (1.6x wave work) on the 4K DRI=0 corpus.
+    n_words = (max_bits + 31) // 32 + 2
+    n_words = (_bucket_fine(n_words, 64) if n_words > 8
+               else _bucket(-(-n_words // 8) * 8, 8))
+    # Lane padding: a multiple of the wave's (VMEM-derived) lane-tile
+    # height x 128, so the grid divides exactly while padding stays <= one
+    # tile-row (a pure pow2 bucket padded up to 2x — at 4K DRI=0 scale
+    # that DOUBLED the lane grid and the expand's HBM writes).
+    from ..kernels.wave_pallas import LANE, _r_tile_budget
+    quant = max(256, _r_tile_budget(n_words) * LANE)
+    n_pad = -(-max(acc, 1) // quant) * quant
 
     # ---- per-lane geometry + dense word offsets ----
     lane_words = np.zeros(n_pad, np.int64)
@@ -761,7 +777,6 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
     lane_bank = np.zeros(n_pad, np.int32)
     dc_flat = np.zeros((n_pad, 3), np.int32)
     lane_of_mcu = np.zeros((B, total), np.int32)
-    max_bits = 0
     total_bytes = 0
     for i, (clean, bo, dc, mi, sc, end_bit, end_mcu) in enumerate(scans):
         l0 = lane_starts[i]
@@ -787,11 +802,8 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
             span0 = int(mi[0])
             lane_of_mcu[i, span0:span0 + int(counts.sum())] = np.repeat(
                 np.arange(l0, l0 + n_rec, dtype=np.int32), counts)
-        max_bits = max(max_bits, int(lens.max()) if lens.size else 0)
         total_bytes += len(clean)
 
-    n_words = (max_bits + 31) // 32 + 2
-    n_words = _bucket(-(-n_words // 8) * 8, 8)
     word_off = np.zeros(n_pad + 1, np.int64)
     np.cumsum(lane_words, out=word_off[1:])
     used_words = int(word_off[-1])
