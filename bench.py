@@ -16,6 +16,8 @@ Measures the end-to-end decode path over three corpora:
 4. MIXED — two resolutions (4K + 1080p, two shape groups per call) with
    per-image Huffman tables (exercises the banked wave + per-group
    programs; the JpegStreamKey-grouping analog, vaapi_decoder.cpp:694-834).
+5. RGB — the headline corpus delivered as packed RGB (the reference's
+   marquee output path; records the fused color-convert epilogue cost).
 
 Prints ONE JSON line on stdout (headline metric + dri0/mug extra fields);
 diagnostics go to stderr. Each leg is the median of BENCH_REPS (default 3)
@@ -244,52 +246,76 @@ def run_leg_subprocess(leg: str, reps: int = None) -> float:
     return med
 
 
-def check_regressions(result: dict, threshold: float = 0.8) -> bool:
-    """Non-regression gate: compare every per-leg figure against the most
-    recent recorded round (BENCH_r*.json at the repo root) and print a LOUD
-    table to stderr when any leg fell below ``threshold`` x its previous
-    value. Exists because round 3 committed a 6-26x regression on two legs
-    silently (see VERDICT round 3 / docs/performance.md); a regression can
-    no longer ship without announcing itself in every bench run. Returns
-    True when a regression was detected."""
+def check_regressions(result: dict, threshold: float = 0.8,
+                      best_threshold: float = 0.85,
+                      bench_dir: str = None) -> bool:
+    """Non-regression gate: compare every per-leg figure against BOTH the
+    most recent recorded round and the BEST-EVER recorded round
+    (BENCH_r*.json at the repo root), printing the full trajectory. Exists
+    because round 3 committed a 6-26x regression silently, and rounds 3-4
+    each drifted the headline 0.93x — a ratchet of small declines never
+    trips a previous-round-only gate (VERDICT r04 #3). Flags when a leg is
+    below ``threshold`` x previous OR ``best_threshold`` x best-ever.
+    Returns True when any regression was detected."""
     import glob
     import re
-    root = os.path.dirname(os.path.abspath(__file__))
+    root = bench_dir or os.path.dirname(os.path.abspath(__file__))
     prevs = sorted(
         glob.glob(os.path.join(root, "BENCH_r*.json")),
         key=lambda p: int(
             re.search(r"r(\d+)", os.path.basename(p)).group(1)))
     if not prevs:
         return False
-    try:
-        with open(prevs[-1]) as f:
-            prev = json.load(f).get("parsed") or {}
-    except Exception:
+    history = []  # (round name, parsed dict)
+    for p in prevs:
+        try:
+            with open(p) as f:
+                parsed = json.load(f).get("parsed") or {}
+            history.append((os.path.basename(p), parsed))
+        except Exception:
+            continue
+    if not history:
         return False
-    legs = [("headline", "value", "value"),
-            ("dri0", "dri0_mpix_s", "dri0_mpix_s"),
-            ("mug", "mug420_mpix_s", "mug420_mpix_s"),
-            ("mixed", "mixed_mpix_s", "mixed_mpix_s")]
+    prev_name, prev = history[-1]
+    legs = [("headline", "value"),
+            ("dri0", "dri0_mpix_s"),
+            ("mug", "mug420_mpix_s"),
+            ("mixed", "mixed_mpix_s"),
+            ("rgb", "rgb_mpix_s")]
     rows = []
     regressed = False
-    for name, new_k, old_k in legs:
-        new_v, old_v = result.get(new_k), prev.get(old_k)
-        if new_v is None or not old_v:
+    for name, key in legs:
+        new_v = result.get(key)
+        if new_v is None:
             continue
-        ratio = new_v / old_v
-        flag = "REGRESSION" if ratio < threshold else "ok"
-        regressed = regressed or ratio < threshold
-        rows.append(f"  {name:<10} {old_v:>9.1f} -> {new_v:>9.1f} Mpix/s "
-                    f"({ratio:5.2f}x)  {flag}")
-    src = os.path.basename(prevs[-1])
-    print(f"[regression gate] vs {src}:", file=sys.stderr)
+        traj = [(rn, d.get(key)) for rn, d in history if d.get(key)]
+        old_v = prev.get(key)
+        best_rn, best_v = (max(traj, key=lambda t: t[1])
+                           if traj else (None, None))
+        flags = []
+        if old_v:
+            r_prev = new_v / old_v
+            if r_prev < threshold:
+                flags.append(f"REGRESSION vs prev ({r_prev:.2f}x)")
+        if best_v:
+            r_best = new_v / best_v
+            if r_best < best_threshold:
+                flags.append(f"REGRESSION vs best {best_rn} "
+                             f"({r_best:.2f}x)")
+        regressed = regressed or bool(flags)
+        tr = " -> ".join(f"{v:.0f}" for _, v in traj) or "-"
+        rows.append(
+            f"  {name:<10} prev {old_v or 0:>8.1f}  best {best_v or 0:>8.1f}"
+            f"  now {new_v:>8.1f} Mpix/s  "
+            f"[{tr}]  {'; '.join(flags) or 'ok'}")
+    print(f"[regression gate] vs {prev_name} and best-ever:",
+          file=sys.stderr)
     for r in rows:
         print(r, file=sys.stderr)
     if regressed:
         print("!" * 72, file=sys.stderr)
-        print("!! BENCH REGRESSION vs previous round — do not commit this "
-              "as-is without a written justification (see gate above).",
-              file=sys.stderr)
+        print("!! BENCH REGRESSION (see gate above) — do not commit this "
+              "as-is without a written justification.", file=sys.stderr)
         print("!" * 72, file=sys.stderr)
     return regressed
 
@@ -334,6 +360,8 @@ def main():
             result["mug420_mpix_s"] = round(mug, 1)
         mixed = run_leg_subprocess("mixed")
         result["mixed_mpix_s"] = round(mixed, 1)
+        rgb = run_leg_subprocess("rgb")
+        result["rgb_mpix_s"] = round(rgb, 1)
         check_regressions(result)
         print(json.dumps(result))
         return
@@ -352,6 +380,13 @@ def main():
     mpix_iter = None
     if leg == "headline":
         datas = build_corpus(n_images, w, h, ri_mcus=ri_mcus)
+    elif leg == "rgb":
+        # Headline corpus delivered as packed RGB — the reference's marquee
+        # output path (13 HIP kernels, rocjpeg_hip_kernels.cpp:238-2070).
+        # Records the fused color-convert epilogue's cost, which the
+        # native-format legs cannot see.
+        datas = build_corpus(n_images, w, h, ri_mcus=ri_mcus)
+        fmt_name = "rgb"
     elif leg == "dri0":
         datas = build_corpus(n_images, w, h, seed=1, ri_mcus=0)
     elif leg == "mug":
