@@ -11,6 +11,7 @@ PY_EMBED_CFLAGS := $(shell python3-config --includes)
 PY_EMBED_LDFLAGS := $(shell python3-config --ldflags --embed)
 CAPI_LIB = build/librocjpeg_tpu.so
 CAPI_SAMPLE = build/jpegdecode_c
+CAPI_PERF = build/jpegdecodeperf_c
 
 .PHONY: all native capi test test-fast bench clean
 
@@ -27,7 +28,7 @@ $(NATIVE_LIB): csrc/rocjpeg_entropy.cpp
 ASAN_LIB = build/librocjpeg_host_asan.so
 ASAN_RT := $(shell $(CXX) -print-file-name=libasan.so)
 
-capi: $(CAPI_LIB) $(CAPI_SAMPLE)
+capi: $(CAPI_LIB) $(CAPI_SAMPLE) $(CAPI_PERF)
 
 native-asan: $(ASAN_LIB)
 
@@ -53,6 +54,10 @@ $(CAPI_LIB): csrc/rocjpeg_capi.cpp include/rocjpeg_tpu.h
 $(CAPI_SAMPLE): csrc/samples/jpegdecode_c.cpp $(CAPI_LIB)
 	$(CXX) -O2 -std=c++17 csrc/samples/jpegdecode_c.cpp -o $@ \
 	    -Lbuild -lrocjpeg_tpu -Wl,-rpath,'$$ORIGIN'
+
+$(CAPI_PERF): csrc/samples/jpegdecodeperf_c.cpp $(CAPI_LIB)
+	$(CXX) -O2 -std=c++17 -pthread csrc/samples/jpegdecodeperf_c.cpp \
+	    -o $@ -Lbuild -lrocjpeg_tpu -Wl,-rpath,'$$ORIGIN'
 
 test: native
 	python -m pytest tests/ -q

@@ -331,13 +331,15 @@ def main():
     ri_mcus = int(os.environ.get("BENCH_RI_MCUS", "4"))
     entropy_mode = os.environ.get("BENCH_ENTROPY", "auto")
     # Host threads submitting batches concurrently (the jpegDecodePerf
-    # model, samples/jpegDecodePerf/jpegdecodeperf.cpp:228-258). Default 2:
-    # the second thread overlaps one batch's host pack with the other's
-    # H2D + dispatch; the Decoder's shared in-flight throttle (max 2) keeps
-    # the device queue shallow (>= ~3 concurrent wave-kernel instances can
-    # stall the runtime's scheduler on this platform — measured: threads=2
-    # beats both 1 and 3).
-    n_threads = int(os.environ.get("BENCH_THREADS", "2"))
+    # model, samples/jpegDecodePerf/jpegdecodeperf.cpp:228-258). Per-leg
+    # defaults from the median-of-3 sweep (THREADS_r05.json): the
+    # restart-path legs keep improving to 4 threads (more overlap of pack/
+    # H2D under the depth-2 device throttle), while the DRI=0 legs are
+    # host-walk-bound on this 2-core VM and peak at 2 (3-4 threads just
+    # contend for the walk's cores).
+    leg0 = os.environ.get("BENCH_LEG") or "headline"
+    default_threads = "2" if leg0 in ("mug", "dri0") else "4"
+    n_threads = int(os.environ.get("BENCH_THREADS", default_threads))
     # Extra legs (dri0 / mug) can be skipped for quick iteration.
     run_extras = os.environ.get("BENCH_EXTRAS", "1") != "0"
 

@@ -13,12 +13,18 @@ make native capi
 echo "== ASAN (native host library) =="
 make test-asan
 
-echo "== unit + integration tests =="
+echo "== unit + integration tests (incl. time-boxed soak) =="
 python -m pytest tests/ -q
 
 echo "== CLI smoke (reference corpus) =="
 if [ -d /root/reference/data/images ]; then
   python -m rocjpeg_tpu.tools.jpegdecode -i /root/reference/data/images -fmt rgb
+fi
+
+echo "== C ABI perf consumer (threaded, batched — the reference's real"
+echo "   concurrency pattern: one handle per thread x rocJpegDecodeBatched) =="
+if [ -d /root/reference/data/images ]; then
+  ./build/jpegdecodeperf_c -i /root/reference/data/images -t 2 -b 2 -n 2
 fi
 
 if [ "${RUN_BENCH:-0}" = "1" ]; then

@@ -6,7 +6,7 @@
 #define ROCJPEG_TPU_VERSION_H_
 
 #define ROCJPEG_TPU_MAJOR_VERSION 0
-#define ROCJPEG_TPU_MINOR_VERSION 3
+#define ROCJPEG_TPU_MINOR_VERSION 4
 #define ROCJPEG_TPU_PATCH_VERSION 0
 
 #define ROCJPEG_TPU_VERSION_STR "0.3.0"
