@@ -35,14 +35,22 @@ from rocjpeg_tpu.types import DecodeParams, OutputFormat
 CSS = ["444", "440", "422", "420", "411", "400"]
 FMTS = [OutputFormat.NATIVE, OutputFormat.RGB, OutputFormat.Y,
         OutputFormat.YUV_PLANAR, OutputFormat.RGB_PLANAR]
+# 4:1:1 excluded: decode rejects it with a typed status (reference
+# parity — the VA surface-format switch has no 411 case and the samples
+# skip it, jpegdecode.cpp:129); that reject path has its own tests.
+_SHAPES = [("444", 64, 64), ("440", 80, 68), ("422", 90, 70),
+           ("420", 88, 72), ("420", 97, 65), ("420", 96, 64),
+           ("400", 73, 81), ("422", 64, 96)]
 
 
 def _gen_blob(rng):
     """One random-config encoded image + its config tuple."""
-    css = CSS[int(rng.integers(len(CSS)))]
-    w = int(rng.integers(17, 120))
-    h = int(rng.integers(17, 104))
-    # Keep dims valid for the css factor grid, then sometimes go odd.
+    # Shapes come from a fixed matrix (every css, odd and even dims, all
+    # >= the 64x64 minimum — reference jpegdecode.cpp:120) so the XLA
+    # shape-bucket compiles amortize across the soak and the budget buys
+    # decode volume; content, restart structure, tables, and mutations
+    # stay fully random per image.
+    css, w, h = _SHAPES[int(rng.integers(len(_SHAPES)))]
     ri = int(rng.choice([0, 0, 1, 2, 5]))
     tv = int(rng.integers(0, 2))
     opt = bool(rng.integers(0, 2))
@@ -53,7 +61,9 @@ def _gen_blob(rng):
 
 
 def _mutate(rng, blob):
-    kind = int(rng.integers(0, 4))
+    # Half clean: all-clean batches (which must decode AND be bit-exact)
+    # need several consecutive clean draws to occur.
+    kind = 0 if rng.random() < 0.5 else int(rng.integers(1, 4))
     b = bytearray(blob)
     if kind == 0:
         return blob, "clean"
