@@ -201,6 +201,12 @@ def run_leg_subprocess(leg: str, reps: int = None) -> float:
     timeout_s = int(os.environ.get("BENCH_REP_TIMEOUT", "900"))
     env = dict(os.environ)
     env["BENCH_LEG"] = leg
+    # Exactly ONE in-process measurement per child: fresh processes exist
+    # BECAUSE in-process reps degrade ~20x on this runtime — a BENCH_REPS
+    # exported by a sweep tool must multiply subprocesses, not poison each
+    # child's median with degraded in-process reps (this bit round 5's
+    # first sync A/B: medians of [fast, degraded, degraded]).
+    env["BENCH_REPS"] = "1"
     values = []
     for rep in range(reps):
         got = None

@@ -204,10 +204,9 @@ class Decoder:
         """Per-chunk (path, batch_indices) pairs from the calling thread's
         most recent decode_batched call. ``path`` is one of ``'host'`` (host
         entropy decode + coefficient upload), ``'wave'`` (device wave over
-        real restart lanes), ``'wave-virtual'`` (host index walk + virtual
-        restarts), ``'sync'`` / ``'sync+host-retry'`` (device sync pass).
-        Lets tools and benches report which entropy path served each group
-        alongside every recorded number."""
+        real restart lanes), or ``'wave-virtual'`` (host index walk +
+        virtual restarts). Lets tools and benches report which entropy path
+        served each group alongside every recorded number."""
         return getattr(self._tls, "paths", [])
 
     def last_failed_indices(self) -> list:

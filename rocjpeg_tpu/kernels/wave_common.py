@@ -1,12 +1,11 @@
-"""Shared Pallas building blocks of the wave-family Huffman kernels.
+"""Shared Pallas building blocks of the wave Huffman kernel.
 
-Both TPU entropy kernels — the emission wave (kernels/wave_pallas.py, the
-decode proper) and the sync pass (kernels/sync_pallas.py, the device-side
-replacement for the host DRI=0 index walk) — run the same inner machinery:
-a branchless two-word bit-window refill and a 16-candidate canonical
-Huffman symbol decode. Extracting them here keeps the two kernels
-bit-identical by construction (the emission semantics are pinned against
-the host oracle by tests/test_wave_pallas.py and tests/test_sync_entropy.py).
+The emission wave (kernels/wave_pallas.py, the decode proper) runs this
+inner machinery: a branchless two-word bit-window refill and a
+16-candidate canonical Huffman symbol decode. (A second consumer — the
+device sync pass — was removed in round 5 after losing its final A/B 15x
+to the host index walk, SYNC_AB_r05.json.) The emission semantics are
+pinned against the host oracle by tests/test_wave_pallas.py.
 
 Reference context: this is the symbol automaton of ITU-T T.81 Annex F that
 the reference's VCN ASIC implements in silicon (delegated via

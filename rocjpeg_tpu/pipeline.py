@@ -260,8 +260,7 @@ def _roi_mcu_range(p0, crop: Optional[CropRectangle]):
 
 def decode_group_device_entropy(params_list, output_format: OutputFormat,
                                 crop: Optional[CropRectangle] = None,
-                                virtual_k: Optional[int] = None,
-                                _no_sync: bool = False):
+                                virtual_k: Optional[int] = None):
     """Fully on-device decode of one same-shape group: the compressed
     bitstream (not coefficient planes) crosses the host->device link as a
     dense word stream, the wave entropy decoder expands it on-chip, and the
@@ -299,45 +298,27 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     total_blocks = de.GroupGeometry.from_params(p0, batch).total_blocks
     dc_flat = lane_of_mcu = None
     mcu_range = _roi_mcu_range(p0, crop)
-    coeffs_flat = None
-    sub_results = None  # host-walk redecode of sync-rejected images
+    # (A device-side "sync pass" that discovered virtual-restart entry
+    # state on-chip by Huffman self-synchronization lived here in rounds
+    # 3-5; it lost its final A/B 15x to the host index walk even on its
+    # best corpus with tuned margins — SYNC_AB_r05.json — and was removed.
+    # See docs/performance.md "The device sync pass was removed".)
     _tls.path = "wave"
-    if virtual_k and not _no_sync and mcu_range is None:
-        # Device-side virtual restarts: the sync pass discovers the entry
-        # state on-chip (ops/sync_entropy.py) — no host index walk at all.
-        # Images failing the chain proof fall back to the host walk below.
-        from .ops import sync_entropy
-        out = sync_entropy.decode_coefficients_sync(
-            params_list, tables, bank_of, batch)
-        if out is not None:
-            (s_coeffs, s_err, s_geom, s_dc, s_lom, ok, lane_img) = out
-            bad = [i for i in range(n) if not (i < len(ok) and ok[i])]
-            if s_coeffs is not None:
-                coeffs_flat, err, geom = s_coeffs, s_err, s_geom
-                dc_flat, lane_of_mcu = s_dc, s_lom
-                _tls.path = "sync"
-            if bad and s_coeffs is not None:
-                sub_results = (bad, decode_group_device_entropy(
-                    [params_list[i] for i in bad], output_format, crop,
-                    virtual_k=virtual_k, _no_sync=True))
-                _tls.path = "sync+host-retry"
-            # All images rejected: fall through to the host walk wholesale.
-    if coeffs_flat is None:
-        if virtual_k:
-            _tls.path = "wave-virtual"
-            packed, dc_flat, lane_of_mcu = de.pack_virtual_segments(
-                params_list, total_blocks, virtual_k, mcu_range=mcu_range,
-                bank_of=bank_of)
-            if batch > n:  # pad images contribute no lanes / zero predictors
-                lane_of_mcu = np.concatenate(
-                    [lane_of_mcu,
-                     np.zeros((batch - n, lane_of_mcu.shape[1]), np.int32)])
-        else:
-            packed = de.pack_segments(params_list, total_blocks, dense=True,
-                                      mcu_range=mcu_range, bank_of=bank_of)
-        coeffs_flat, err, geom = de.decode_coefficients_on_device(
-            params_list, tables, packed, batch=batch)
-        lane_img = (packed.img_base // max(total_blocks, 1)).astype(np.int32)
+    if virtual_k:
+        _tls.path = "wave-virtual"
+        packed, dc_flat, lane_of_mcu = de.pack_virtual_segments(
+            params_list, total_blocks, virtual_k, mcu_range=mcu_range,
+            bank_of=bank_of)
+        if batch > n:  # pad images contribute no lanes / zero predictors
+            lane_of_mcu = np.concatenate(
+                [lane_of_mcu,
+                 np.zeros((batch - n, lane_of_mcu.shape[1]), np.int32)])
+    else:
+        packed = de.pack_segments(params_list, total_blocks, dense=True,
+                                  mcu_range=mcu_range, bank_of=bank_of)
+    coeffs_flat, err, geom = de.decode_coefficients_on_device(
+        params_list, tables, packed, batch=batch)
+    lane_img = (packed.img_base // max(total_blocks, 1)).astype(np.int32)
 
     qy_rows, qu_rows, qv_rows = [], [], []
     for p in params_list:
@@ -367,15 +348,6 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     for i in range(n):
         per_image.append([(LazyChannel(arr, i), pitch)
                           for arr, pitch in zip(outs, pitches)])
-    if sub_results is not None:
-        # Splice in the host-walk redecode of sync-rejected images; their
-        # rows of the sync program's output are garbage by construction.
-        # The sub-call's error lanes are not merged: the host walk raises
-        # precisely on corrupt scans before any device work, so a returned
-        # sub-result is clean.
-        bad, (sub_per_image, _sub_err, _sub_lane_img) = sub_results
-        for j, i in enumerate(bad):
-            per_image[i] = sub_per_image[j]
     # lane -> group-local image index (host metadata): lets the caller map
     # errored wave lanes back to the offending stream, the analog of the
     # reference's naturally-attributing per-image loop (decoder.cpp:220-286).

@@ -444,10 +444,10 @@ def random_planes(css: str, width: int, height: int, seed: int = 0):
 def photo_planes(css: str, width: int, height: int, seed: int = 0):
     """Photographic-statistics uint8 planes: textured luma (gradient +
     moderate noise), smooth low-variance chroma. Uniform-noise planes
-    (random_planes) make luma and chroma streams statistically identical,
-    which defeats Huffman self-synchronization phase-lock (the sync-wave
-    path, ops/sync_entropy.py); real photos — like the reference's bundled
-    mug corpus — carry exactly this luma/chroma asymmetry."""
+    (random_planes) make luma and chroma streams statistically identical;
+    real photos — like the reference's bundled mug corpus — carry exactly
+    this luma/chroma asymmetry, which matters for any Huffman
+    self-synchronization analysis (tools history: the removed sync pass)."""
     rng = np.random.default_rng(seed)
     hf, vf = {"444": (1, 1), "440": (1, 2), "422": (2, 1),
               "420": (2, 2), "411": (4, 1), "400": (1, 1)}[css]
