@@ -1818,10 +1818,14 @@ long rjt_index_scan32(RjtIndexJob** jobs, long n_jobs,
 // kernel then needs no skip-bits support; alignment costs one bswap+shift
 // per word here). word_off[l] is the lane's first word in `out` (exclusive
 // prefix sum of ceil((bit_end-bit_start)/32), as for rjt_pack_dense).
-void rjt_pack_bits(const uint8_t* clean, long clean_len, uint8_t* out,
-                   const int32_t* word_off, const int64_t* bit_start,
-                   const int64_t* bit_end, long n_lanes) {
-  const int64_t max_bit = (int64_t)clean_len * 8;
+//
+// Scalar reference path; rjt_pack_bits dispatches to the AVX-512 version
+// below when the host has it (the scalar byte loop was 85 ms/batch on the
+// 32x4K mug leg — the second-largest host CPU term after the index walk).
+static void pack_bits_scalar(const uint8_t* clean, long clean_len,
+                             uint8_t* out, const int32_t* word_off,
+                             const int64_t* bit_start, const int64_t* bit_end,
+                             long n_lanes) {
   for (long l = 0; l < n_lanes; ++l) {
     int64_t s = bit_start[l];
     int64_t e = bit_end[l];
@@ -1840,9 +1844,155 @@ void rjt_pack_bits(const uint8_t* clean, long clean_len, uint8_t* out,
         for (int b = 0; b < 8; ++b)
           w8 = (w8 << 8) | (uint64_t)(byte + b < clean_len ? clean[byte + b] : 0);
       }
-      (void)max_bit;
       uint32_t w = (uint32_t)(w8 >> (32 - sh));
       std::memcpy(dst + j * 4, &w, 4);
+    }
+  }
+}
+
+#if defined(__x86_64__)
+// AVX-512 pack: 16 output words per iteration. For a lane starting at bit
+// s, word j is bits [s+32j, s+32j+32) big-endian — i.e. a byte-shifted
+// big-endian window: w_j = (be32(b0+4j) << sh) | (be32(b0+4j+4) >> (32-sh))
+// with b0 = s>>3, sh = s&7 constant per lane. Two unaligned 64-byte loads,
+// one in-dword byte reverse (VPSHUFB), two shifts, one OR.
+__attribute__((target("avx512f,avx512bw")))
+static void pack_bits_avx512(const uint8_t* clean, long clean_len,
+                             uint8_t* out, const int32_t* word_off,
+                             const int64_t* bit_start, const int64_t* bit_end,
+                             long n_lanes) {
+  const __m512i bswap32 = _mm512_broadcast_i32x4(
+      _mm_set_epi8(12, 13, 14, 15, 8, 9, 10, 11, 4, 5, 6, 7, 0, 1, 2, 3));
+  for (long l = 0; l < n_lanes; ++l) {
+    const int64_t s = bit_start[l];
+    const int64_t e = bit_end[l];
+    const long nw = (long)((e - s + 31) / 32);
+    uint8_t* dst = out + (long)word_off[l] * 4;
+    const long b0 = (long)(s >> 3);
+    const int sh = (int)(s & 7);
+    long j = 0;
+    // Vector body: iteration j reads clean[b0+4j .. b0+4j+71]; the clean
+    // buffer carries 8 zero slack bytes, so stop once the window passes
+    // clean_len (the scalar tail handles the zero-padded end exactly).
+    for (; j + 16 <= nw && b0 + 4 * j + 64 <= clean_len; j += 16) {
+      __m512i v0 = _mm512_loadu_si512((const void*)(clean + b0 + 4 * j));
+      __m512i v1 = _mm512_loadu_si512((const void*)(clean + b0 + 4 * j + 4));
+      v0 = _mm512_shuffle_epi8(v0, bswap32);
+      v1 = _mm512_shuffle_epi8(v1, bswap32);
+      __m512i w = sh == 0 ? v0
+                          : _mm512_or_si512(_mm512_slli_epi32(v0, sh),
+                                            _mm512_srli_epi32(v1, 32 - sh));
+      _mm512_storeu_si512((void*)(dst + 4 * j), w);
+    }
+    for (; j < nw; ++j) {
+      int64_t bit = s + (int64_t)j * 32;
+      long byte = (long)(bit >> 3);
+      uint64_t w8;
+      if (byte + 8 <= clean_len) {
+        std::memcpy(&w8, clean + byte, 8);
+        w8 = __builtin_bswap64(w8);
+      } else {
+        w8 = 0;
+        for (int b = 0; b < 8; ++b)
+          w8 = (w8 << 8) | (uint64_t)(byte + b < clean_len ? clean[byte + b] : 0);
+      }
+      uint32_t w = (uint32_t)(w8 >> (32 - sh));
+      std::memcpy(dst + j * 4, &w, 4);
+    }
+  }
+}
+#endif  // __x86_64__
+
+void rjt_pack_bits(const uint8_t* clean, long clean_len, uint8_t* out,
+                   const int32_t* word_off, const int64_t* bit_start,
+                   const int64_t* bit_end, long n_lanes) {
+#if defined(__x86_64__)
+  static const bool avx512 = __builtin_cpu_supports("avx512f") &&
+                             __builtin_cpu_supports("avx512bw");
+  if (avx512) {
+    pack_bits_avx512(clean, clean_len, out, word_off, bit_start, bit_end,
+                     n_lanes);
+    return;
+  }
+#endif
+  pack_bits_scalar(clean, clean_len, out, word_off, bit_start, bit_end,
+                   n_lanes);
+}
+
+// Per-image record set for the lane-geometry pass below: pointers into the
+// index walkers' record buffers (bit_off/dc/mcu_idx/sym_count slices), plus
+// the end markers and destination lane range. Mirrors the tuple the Python
+// packer used to iterate per image (ops/device_entropy.py
+// pack_virtual_segments) — moved native so the per-batch bookkeeping
+// releases the GIL instead of serializing the submit threads.
+struct RjtGeomJob {
+  const int64_t* bo;   // record bit offsets (n_rec)
+  const int32_t* dc;   // entry DC predictors (n_rec, 3), component-major
+  const int32_t* mi;   // record MCU indices (n_rec)
+  const int32_t* sc;   // record symbol counts (n_rec)
+  int64_t n_rec;
+  int64_t end_bit;     // bit bound of the LAST record's lane
+  int32_t end_mcu;     // MCU bound of the LAST record's lane
+  int32_t lane_start;  // global lane index of record 0
+  int32_t img_base;    // local_image * total_blocks (wave scatter base)
+  int32_t bank;        // Huffman table bank serving this image's lanes
+  int32_t img_row;     // row of lane_of_mcu this image fills
+  int32_t _pad;
+};
+
+// Pass 1 of the native lane bookkeeping: max lane bit-span and max lane
+// symbol count across all kept records — the packer sizes the dense word
+// budget and the wave's emission buffers from these BEFORE allocating the
+// geometry arrays.
+void rjt_record_maxes(const RjtGeomJob* jobs, long n_jobs,
+                      int64_t* max_bits_out, int64_t* max_syms_out) {
+  int64_t mb = 0, ms = 0;
+  for (long i = 0; i < n_jobs; ++i) {
+    const RjtGeomJob& j = jobs[i];
+    for (int64_t r = 0; r < j.n_rec; ++r) {
+      int64_t e = (r + 1 < j.n_rec) ? j.bo[r + 1] : j.end_bit;
+      int64_t d = e - j.bo[r];
+      if (d > mb) mb = d;
+      if ((int64_t)j.sc[r] > ms) ms = j.sc[r];
+    }
+  }
+  *max_bits_out = mb;
+  *max_syms_out = ms;
+}
+
+// Pass 2: fill the per-lane geometry arrays (all pre-allocated to the
+// padded lane count and zeroed by the caller) and the lane_of_mcu gather
+// key (row-major (B, total_mcus); row r covers exactly the MCU spans of
+// its kept records — dropped ROI tails stay 0, as the Python loop left
+// them). Byte-for-byte the same values the Python bookkeeping produced;
+// tests/test_device_entropy.py pins the packed output.
+void rjt_lane_geometry(const RjtGeomJob* jobs, long n_jobs,
+                       int64_t* lane_words, int64_t* bit_starts,
+                       int64_t* bit_ends, int32_t* img_base,
+                       int32_t* mcu_start, int32_t* mcu_count,
+                       int32_t* lane_bank, int32_t* dc_flat,
+                       int32_t* lane_of_mcu, int64_t total_mcus) {
+  for (long i = 0; i < n_jobs; ++i) {
+    const RjtGeomJob& j = jobs[i];
+    const long l0 = j.lane_start;
+    int32_t* row = lane_of_mcu + (int64_t)j.img_row * total_mcus;
+    for (int64_t r = 0; r < j.n_rec; ++r) {
+      const long l = l0 + (long)r;
+      const int64_t s = j.bo[r];
+      const int64_t e = (r + 1 < j.n_rec) ? j.bo[r + 1] : j.end_bit;
+      bit_starts[l] = s;
+      bit_ends[l] = e;
+      lane_words[l] = (e - s + 31) / 32;
+      img_base[l] = j.img_base;
+      const int32_t m0 = j.mi[r];
+      const int32_t m1 = (r + 1 < j.n_rec) ? j.mi[r + 1] : j.end_mcu;
+      mcu_start[l] = m0;
+      mcu_count[l] = m1 - m0;
+      lane_bank[l] = j.bank;
+      dc_flat[l * 3 + 0] = j.dc[r * 3 + 0];
+      dc_flat[l * 3 + 1] = j.dc[r * 3 + 1];
+      dc_flat[l * 3 + 2] = j.dc[r * 3 + 2];
+      for (int32_t m = m0; m < m1; ++m) row[m] = (int32_t)l;
     }
   }
 }

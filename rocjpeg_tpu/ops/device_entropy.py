@@ -281,6 +281,63 @@ class _IdxBufPool:
 _IDX_BUF_POOL = _IdxBufPool()
 
 
+class _RingPool:
+    """Round-robin rings of the LARGE per-batch output buffers (the dense
+    word stream and lane_of_mcu), keyed by exact (shape, dtype).
+
+    Why: these escape pack_virtual_segments into device_put/jit, so the
+    free-list pattern (_IdxBufPool) can't know when to release them.
+    Allocating them fresh per call was measured to SERIALIZE concurrent
+    submit threads: an 84 MB np.zeros + fault-on-write + munmap cycle per
+    batch means cross-core TLB shootdowns and mmap_sem contention in the
+    shared address space — 2-thread scaling of the host pack path was
+    0.75-1.08x with fresh buffers vs ~1.9x without the big writes (two
+    PROCESSES, separate address spaces, always scaled cleanly).
+
+    A ring hands the same buffer out again only after ``depth`` further
+    acquisitions of its key. depth=8 covers the deepest in-flight window
+    (2 submit threads x depth-2 pipeline x <= 2 throttled device programs
+    -> <= 4 batches whose H2D may still be streaming) with 2x margin.
+    Buffers are DIRTY on acquire; callers must overwrite every byte they
+    let the device read, or zero explicitly (the ROI path does)."""
+
+    def __init__(self, depth: int = 8, max_keys: int = 32):
+        import threading
+        self._lock = threading.Lock()
+        self._depth = depth
+        self._max_keys = max_keys
+        self._rings = {}  # key -> [buffers]
+        self._next = {}   # key -> next slot
+        self._order = []  # LRU key order
+
+    def acquire(self, shape, dtype) -> np.ndarray:
+        key = (tuple(np.atleast_1d(shape).tolist())
+               if not np.isscalar(shape) else (int(shape),),
+               np.dtype(dtype).str)
+        with self._lock:
+            ring = self._rings.get(key)
+            if ring is None:
+                if len(self._rings) >= self._max_keys and self._order:
+                    old = self._order.pop(0)
+                    self._rings.pop(old, None)
+                    self._next.pop(old, None)
+                ring = self._rings[key] = []
+                self._next[key] = 0
+            if key in self._order:
+                self._order.remove(key)
+            self._order.append(key)
+            if len(ring) < self._depth:
+                buf = np.empty(shape, dtype)
+                ring.append(buf)
+                return buf
+            i = self._next[key]
+            self._next[key] = (i + 1) % self._depth
+            return ring[i]
+
+
+_BATCH_BUF_POOL = _RingPool()
+
+
 def _bucket(n: int, quantum: int) -> int:
     """Round n up to a power-of-two-ish bucket (1-2-4-... times quantum)."""
     b = quantum
@@ -598,6 +655,39 @@ def _pack_dense_phase2(params_list, geo, lane_starts, n_pad, n_words,
     )
 
 
+def _lane_geometry_py(scans, lane_starts, local_batch, total_blocks,
+                      bank_of, lane_words, bit_starts, bit_ends, img_base,
+                      mcu_start, mcu_count, lane_bank, dc_flat,
+                      lane_of_mcu):
+    """Pure-Python lane bookkeeping — the fallback when the loaded native
+    library predates rjt_lane_geometry, and the oracle the native pass is
+    tested against (tests/test_device_entropy.py)."""
+    for i, (clean, bo, dc, mi, sc, end_bit, end_mcu) in enumerate(scans):
+        l0 = lane_starts[i]
+        n_rec = len(bo)
+        ends = np.append(bo[1:], end_bit)
+        lens = ends - bo
+        sl = slice(l0, l0 + n_rec)
+        bit_starts[sl] = bo
+        bit_ends[sl] = ends
+        lane_words[sl] = (lens + 31) // 32
+        # The last kept lane extends to the next (possibly dropped) record
+        # or the image end — both its bit span and MCU count honor that.
+        nxt = np.append(mi[1:], end_mcu) if n_rec else mi
+        counts = (nxt - mi).astype(np.int32)
+        local_i = i % local_batch if local_batch else i
+        img_base[sl] = local_i * total_blocks
+        mcu_start[sl] = mi
+        mcu_count[sl] = counts
+        if bank_of is not None:
+            lane_bank[sl] = bank_of[i]
+        dc_flat[sl] = dc
+        if n_rec:
+            span0 = int(mi[0])
+            lane_of_mcu[i, span0:span0 + int(counts.sum())] = np.repeat(
+                np.arange(l0, l0 + n_rec, dtype=np.int32), counts)
+
+
 def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
                           total_blocks: int,
                           min_symbols: int,
@@ -743,15 +833,35 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
 
     lane_starts = []
     acc = 0
-    max_syms = 0
-    max_bits = 0
-    for clean, bo, dc, mi, sc, eb, em in scans:
+    total_bytes = 0
+    meta = []
+    for i, (clean, bo, dc, mi, sc, eb, em) in enumerate(scans):
         lane_starts.append(acc)
+        local_i = i % local_batch if local_batch else i
+        meta.append((bo, dc, mi, sc, eb, em, acc, local_i * total_blocks,
+                     int(bank_of[i]) if bank_of is not None else 0, i))
         acc += len(bo)
-        if sc.size:
-            max_syms = max(max_syms, int(sc.max()))
-        if len(bo):
-            max_bits = max(max_bits, int((np.append(bo[1:], eb) - bo).max()))
+        total_bytes += len(clean)
+
+    use_native_geom = getattr(native, "geometry_available", lambda: False)()
+    if use_native_geom:
+        # Native bookkeeping (rjt_record_maxes / rjt_lane_geometry): the
+        # per-batch record aggregation releases the GIL, so concurrent
+        # submit threads' packs overlap instead of serializing here
+        # (measured: the Python loop alone capped 2-thread host scaling
+        # at 1.34x on the mug leg).
+        geom_jobs = native.build_geom_jobs(meta)
+        max_bits, max_syms = native.record_maxes(geom_jobs, len(meta))
+    else:
+        geom_jobs = None
+        max_syms = 0
+        max_bits = 0
+        for clean, bo, dc, mi, sc, eb, em in scans:
+            if sc.size:
+                max_syms = max(max_syms, int(sc.max()))
+            if len(bo):
+                max_bits = max(max_bits,
+                               int((np.append(bo[1:], eb) - bo).max()))
 
     # Word budget per lane: multiple of 8 (the wave's word-slab width),
     # 1/8-geometric — the pow2 bucket inflated a 160-word budget to 256
@@ -776,54 +886,43 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
     mcu_count = np.zeros(n_pad, np.int32)
     lane_bank = np.zeros(n_pad, np.int32)
     dc_flat = np.zeros((n_pad, 3), np.int32)
-    lane_of_mcu = np.zeros((B, total), np.int32)
-    total_bytes = 0
-    for i, (clean, bo, dc, mi, sc, end_bit, end_mcu) in enumerate(scans):
-        l0 = lane_starts[i]
-        n_rec = len(bo)
-        ends = np.append(bo[1:], end_bit)
-        lens = ends - bo
-        sl = slice(l0, l0 + n_rec)
-        bit_starts[sl] = bo
-        bit_ends[sl] = ends
-        lane_words[sl] = (lens + 31) // 32
-        # The last kept lane extends to the next (possibly dropped) record
-        # or the image end — both its bit span and MCU count honor that.
-        nxt = np.append(mi[1:], end_mcu) if n_rec else mi
-        counts = (nxt - mi).astype(np.int32)
-        local_i = i % local_batch if local_batch else i
-        img_base[sl] = local_i * total_blocks
-        mcu_start[sl] = mi
-        mcu_count[sl] = counts
-        if bank_of is not None:
-            lane_bank[sl] = bank_of[i]
-        dc_flat[sl] = dc
-        if n_rec:
-            span0 = int(mi[0])
-            lane_of_mcu[i, span0:span0 + int(counts.sum())] = np.repeat(
-                np.arange(l0, l0 + n_rec, dtype=np.int32), counts)
-        total_bytes += len(clean)
+    # Ring-pooled (dirty) large buffer: every row is fully overwritten on
+    # the full-image path (record 0 is always MCU 0 and the last lane
+    # extends to total), so only the ROI path needs an explicit zero.
+    lane_of_mcu = _BATCH_BUF_POOL.acquire((B, total), np.int32)
+    if mcu_range is not None:
+        lane_of_mcu[:] = 0
+    if use_native_geom:
+        native.lane_geometry(geom_jobs, len(meta), lane_words, bit_starts,
+                             bit_ends, img_base, mcu_start, mcu_count,
+                             lane_bank, dc_flat, lane_of_mcu, total)
+    else:
+        _lane_geometry_py(scans, lane_starts, local_batch, total_blocks,
+                          bank_of, lane_words, bit_starts, bit_ends,
+                          img_base, mcu_start, mcu_count, lane_bank,
+                          dc_flat, lane_of_mcu)
 
     word_off = np.zeros(n_pad + 1, np.int64)
     np.cumsum(lane_words, out=word_off[1:])
     used_words = int(word_off[-1])
     w_pad = _bucket_fine(used_words + n_words, 1 << 16)
-    dense = np.zeros(w_pad, np.uint32)
+    # Ring-pooled (dirty): pack_bits overwrites every word in
+    # [0, used_words); the slack tail is only ever gathered by zero-length
+    # padding lanes (mcu_count 0), which emit nothing — exactly as true
+    # for the zero-filled slack before pooling.
+    dense = _BATCH_BUF_POOL.acquire(w_pad, np.uint32)
     word_off32 = word_off[:n_pad].astype(np.int32)
 
     # ---- phase 2: bit-aligned lane copies into the dense stream ----
-    def _pack(arg):
-        i, (clean, bo, dc, mi, sc, eb, em) = arg
+    # Inline, not pooled: the AVX-512 pack is ~0.5 ms/image, below the
+    # pool's per-job dispatch cost (32 futures measured ~1 ms each of
+    # wall under GIL contention); concurrent submit threads each pack
+    # their own batch on their own core instead.
+    dense_u8 = dense.view(np.uint8)
+    for i, (clean, bo, dc, mi, sc, eb, em) in enumerate(scans):
         sl = slice(lane_starts[i], lane_starts[i] + len(bo))
-        native.pack_bits(clean, dense.view(np.uint8), word_off32[sl],
+        native.pack_bits(clean, dense_u8, word_off32[sl],
                          bit_starts[sl], bit_ends[sl])
-
-    jobs = list(enumerate(scans))
-    if B > 1:
-        list(_pack_pool().map(_pack, jobs))
-    else:
-        for j in jobs:
-            _pack(j)
 
     packed = PackedDense(
         dense=dense,

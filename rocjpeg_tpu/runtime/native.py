@@ -110,6 +110,25 @@ class _RjtIndexJob(ctypes.Structure):
     ]
 
 
+class _RjtGeomJob(ctypes.Structure):
+    """Mirrors csrc RjtGeomJob: one image's index-walk record set plus its
+    destination lane range, for the native lane-geometry bookkeeping."""
+    _fields_ = [
+        ("bo", ctypes.c_void_p),
+        ("dc", ctypes.c_void_p),
+        ("mi", ctypes.c_void_p),
+        ("sc", ctypes.c_void_p),
+        ("n_rec", ctypes.c_int64),
+        ("end_bit", ctypes.c_int64),
+        ("end_mcu", ctypes.c_int32),
+        ("lane_start", ctypes.c_int32),
+        ("img_base", ctypes.c_int32),
+        ("bank", ctypes.c_int32),
+        ("img_row", ctypes.c_int32),
+        ("_pad", ctypes.c_int32),
+    ]
+
+
 # ROCJPEG_HOST_LIB overrides the library path — used by `make test-asan` to
 # load the -fsanitize=address build (the reference ships an ASAN package
 # variant, CMakeLists.txt:160,200-206).
@@ -191,6 +210,19 @@ def _load():
             lib.rjt_unstuff.argtypes = [ctypes.c_char_p, ctypes.c_long,
                                         ctypes.c_void_p]
             lib.rjt_unstuff.restype = ctypes.c_long
+        if hasattr(lib, "rjt_lane_geometry"):
+            lib.rjt_record_maxes.argtypes = [
+                ctypes.POINTER(_RjtGeomJob), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.rjt_record_maxes.restype = None
+            lib.rjt_lane_geometry.argtypes = [
+                ctypes.POINTER(_RjtGeomJob), ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64]
+            lib.rjt_lane_geometry.restype = None
         return lib
     except OSError:
         return None
@@ -600,6 +632,77 @@ def pack_bits(clean: np.ndarray, dense: np.ndarray, word_off: np.ndarray,
         ctypes.c_void_p(np.ascontiguousarray(bit_start, np.int64).ctypes.data),
         ctypes.c_void_p(np.ascontiguousarray(bit_end, np.int64).ctypes.data),
         len(word_off))
+
+
+def geometry_available() -> bool:
+    """Whether the native lane-geometry bookkeeping (rjt_lane_geometry) is
+    in the loaded library (absent only with a stale .so)."""
+    return _lib is not None and hasattr(_lib, "rjt_lane_geometry")
+
+
+def build_geom_jobs(meta):
+    """Build the ctypes RjtGeomJob array for record_maxes/lane_geometry.
+
+    ``meta``: per image, a tuple (bo int64 (n,), dc int32 (n, 3), mi int32
+    (n,), sc int32 (n,), end_bit, end_mcu, lane_start, img_base, bank,
+    img_row); arrays must be C-contiguous (slices of the walkers' record
+    buffers are). The returned array holds RAW pointers — the caller must
+    keep the arrays alive across the native calls."""
+    n = len(meta)
+    arr = (_RjtGeomJob * n)()
+    for k, (bo, dc, mi, sc, eb, em, ls, ib, bank, row) in enumerate(meta):
+        assert bo.dtype == np.int64 and bo.flags.c_contiguous
+        assert dc.dtype == np.int32 and dc.flags.c_contiguous
+        assert mi.dtype == np.int32 and mi.flags.c_contiguous
+        assert sc.dtype == np.int32 and sc.flags.c_contiguous
+        j = arr[k]
+        j.bo = bo.ctypes.data
+        j.dc = dc.ctypes.data
+        j.mi = mi.ctypes.data
+        j.sc = sc.ctypes.data
+        j.n_rec = len(bo)
+        j.end_bit = int(eb)
+        j.end_mcu = int(em)
+        j.lane_start = int(ls)
+        j.img_base = int(ib)
+        j.bank = int(bank)
+        j.img_row = int(row)
+    return arr
+
+
+def record_maxes(jobs_arr, n: int):
+    """Native pass over all kept records: (max lane bit-span, max lane
+    symbol count) — the packer's buffer-sizing inputs. GIL released."""
+    mb = ctypes.c_int64(0)
+    ms = ctypes.c_int64(0)
+    _lib.rjt_record_maxes(jobs_arr, n, ctypes.byref(mb), ctypes.byref(ms))
+    return int(mb.value), int(ms.value)
+
+
+def lane_geometry(jobs_arr, n: int, lane_words, bit_starts, bit_ends,
+                  img_base, mcu_start, mcu_count, lane_bank, dc_flat,
+                  lane_of_mcu, total_mcus: int) -> None:
+    """Fill the per-lane geometry arrays + lane_of_mcu gather key from the
+    walk records, in native code with the GIL released (the Python loop
+    this replaces serialized the submit threads). Output arrays must be
+    pre-zeroed and sized to the padded lane count."""
+    assert lane_words.dtype == np.int64 and bit_starts.dtype == np.int64
+    assert bit_ends.dtype == np.int64
+    for a in (img_base, mcu_start, mcu_count, lane_bank, dc_flat,
+              lane_of_mcu):
+        assert a.dtype == np.int32 and a.flags.c_contiguous
+    _lib.rjt_lane_geometry(
+        jobs_arr, n,
+        ctypes.c_void_p(lane_words.ctypes.data),
+        ctypes.c_void_p(bit_starts.ctypes.data),
+        ctypes.c_void_p(bit_ends.ctypes.data),
+        ctypes.c_void_p(img_base.ctypes.data),
+        ctypes.c_void_p(mcu_start.ctypes.data),
+        ctypes.c_void_p(mcu_count.ctypes.data),
+        ctypes.c_void_p(lane_bank.ctypes.data),
+        ctypes.c_void_p(dc_flat.ctypes.data),
+        ctypes.c_void_p(lane_of_mcu.ctypes.data),
+        ctypes.c_int64(total_mcus))
 
 
 def unstuff(scan: bytes) -> np.ndarray:
