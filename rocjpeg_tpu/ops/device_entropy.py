@@ -321,15 +321,20 @@ class _RingPool:
                     old = self._order.pop(0)
                     self._rings.pop(old, None)
                     self._next.pop(old, None)
-                ring = self._rings[key] = []
+                # Allocate the WHOLE ring up front and pre-fault every
+                # page (fill(0)): in a TPU-attached process, first-touch
+                # soft faults run ~15 us each (~1.2 s per fresh 84 MB
+                # buffer — the client intercepts the address space), so
+                # slot creation must happen here, on the first (warmup)
+                # acquire of a key, never inside a timed decode call.
+                ring = self._rings[key] = [np.empty(shape, dtype)
+                                           for _ in range(self._depth)]
+                for b in ring:
+                    b.fill(0)
                 self._next[key] = 0
             if key in self._order:
                 self._order.remove(key)
             self._order.append(key)
-            if len(ring) < self._depth:
-                buf = np.empty(shape, dtype)
-                ring.append(buf)
-                return buf
             i = self._next[key]
             self._next[key] = (i + 1) % self._depth
             return ring[i]
@@ -946,6 +951,65 @@ def pack_virtual_segments(params_list: Sequence[JpegStreamParams],
 
 
 @functools.lru_cache(maxsize=64)
+def _unbundle_fn(layout):
+    """Jitted splitter for stage_small_args: one flat int32 device array ->
+    the original (shape, dtype) tuple of arrays, all on device. ``layout``
+    is a tuple of (n_elems, shape, dtype_str); offsets are static, so this
+    compiles once per layout (shapes are bucketed upstream)."""
+
+    @jax.jit
+    def f(flat):
+        outs = []
+        off = 0
+        for n, shape, dt in layout:
+            seg = flat[off:off + n].reshape(shape)
+            if dt == "uint32":
+                seg = jax.lax.bitcast_convert_type(seg, jnp.uint32)
+            outs.append(seg)
+            off += n
+        return tuple(outs)
+
+    return f
+
+
+def stage_small_args(arrays):
+    """ONE host->device transfer for many small arrays.
+
+    ``arrays``: list of (name, np.ndarray) with int32/uint32 dtype. Returns
+    {name: device array} with original shapes/dtypes.
+
+    Why: the tunneled transport pays ~30 ms of RPC latency PER transfer
+    regardless of size (an 84 MB stream costs ~54 ms, a 4 KB table the
+    same ~30 ms), and a decode call ships ~12 small arrays (lane geometry,
+    Huffman LUT banks, quant tables, DC predictors) — ~400 ms/call of pure
+    latency, 2x the host pack itself. Concatenating them host-side
+    (~2 ms of memcpy) and slicing on device turns that into one transfer.
+    On a directly-attached TPU this is still mildly useful (fewer PCIe
+    transactions) and never harmful."""
+    metas = []
+    parts = []
+    total = 0
+    for name, a in arrays:
+        dt = str(a.dtype)
+        assert dt in ("int32", "uint32"), (name, dt)
+        a32 = a.view(np.int32) if a.dtype == np.uint32 else a
+        parts.append(np.ascontiguousarray(a32).ravel())
+        metas.append((name, int(a.size), tuple(a.shape), dt))
+        total += int(a.size)
+    # Assemble in a ring-pooled (pre-faulted) buffer, NOT np.concatenate:
+    # a fresh 90 MB allocation pays ~15 us/page first-touch faults in a
+    # TPU-attached process (~350 ms — more than the upload itself).
+    flat = _BATCH_BUF_POOL.acquire(max(total, 1), np.int32)
+    off = 0
+    for p in parts:
+        flat[off:off + p.size] = p
+        off += p.size
+    layout = tuple((n, shape, dt) for _, n, shape, dt in metas)
+    outs = _unbundle_fn(layout)(flat)
+    return {name: out for (name, _, _, _), out in zip(metas, outs)}
+
+
+@functools.lru_cache(maxsize=64)
 def _expand_words(R: int, n_words: int):
     """Jitted on-device reconstruction of the lane-major (R, n_words, 128)
     word tensor from the dense stream: one gather, ~n_words*128*R*4 bytes of
@@ -1377,16 +1441,26 @@ def _scatter_epilogue(out_size: int):
 def decode_coefficients_on_device(params_list: Sequence[JpegStreamParams],
                                   tables: DeviceScanTables,
                                   packed: PackedSegments,
-                                  batch: int = 0):
+                                  batch: int = 0,
+                                  dev=None):
     """Run the wave decoder for one group — exactly one device program, no
     host<->device syncs. Returns (coeffs_flat jnp int16 of shape
     (B*total_blocks*64,), err device bool array, geometry). ``batch`` may
-    exceed len(params_list) to reuse a bucketed program."""
+    exceed len(params_list) to reuse a bucketed program.
+
+    ``dev``: optional {name: device array} from stage_small_args — when a
+    key (word_off/img_base/mcu_start/mcu_count/lane_bank/lentab/values) is
+    present, its pre-staged device array is used instead of uploading the
+    host copy (one bundled transfer instead of ~7 latency-bound ones)."""
     p0 = params_list[0]
     geom = GroupGeometry.from_params(p0, batch or len(params_list))
     max_steps = max_steps_bound(geom, packed)
     L = packed.n_lanes
     R = L // 128
+    dev = dev or {}
+
+    def arg(name, host):
+        return dev.get(name, host)
 
     def lanes2(a):
         return a.reshape(R, 128)
@@ -1396,15 +1470,18 @@ def decode_coefficients_on_device(params_list: Sequence[JpegStreamParams],
         # on-device (gathers read HBM; the padded layout never crosses the
         # host->device link).
         words = _expand_words(R, packed.n_words)(
-            packed.dense, lanes2(packed.word_off))
+            arg("dense", packed.dense), lanes2(arg("word_off",
+                                                   packed.word_off)))
     else:
-        words = packed.words
+        words = arg("words", packed.words)
 
     n_banks = getattr(tables, "n_banks", 1)
     bank_args = ()
     if n_banks > 1:
-        bank_args = (lanes2(packed.lane_bank),)
+        bank_args = (lanes2(arg("lane_bank", packed.lane_bank)),)
 
+    lentab = arg("lentab", tables.lentab)
+    values = arg("values", tables.values)
     backend = wave_backend()
     if backend.startswith("pallas"):
         from ..kernels import wave_pallas
@@ -1412,17 +1489,19 @@ def decode_coefficients_on_device(params_list: Sequence[JpegStreamParams],
             geom, L, packed.n_words, max_steps,
             interpret=(backend == "pallas-interpret"), n_banks=n_banks)
         idx_buf, val_buf, err2 = fn(
-            words, lanes2(packed.img_base), lanes2(packed.mcu_start),
-            lanes2(packed.mcu_count), tables.lentab, tables.values,
+            words, lanes2(arg("img_base", packed.img_base)),
+            lanes2(arg("mcu_start", packed.mcu_start)),
+            lanes2(arg("mcu_count", packed.mcu_count)), lentab, values,
             *bank_args)
         out_size = geom.batch * geom.total_blocks * 64
         coeffs = _scatter_epilogue(out_size)(idx_buf, val_buf)
         return coeffs, (err2 > 0).reshape(-1), geom
 
     fn = _compiled_wave_decoder(geom, L, packed.n_words, max_steps, n_banks)
-    coeffs, err = fn(words, lanes2(packed.img_base),
-                     lanes2(packed.mcu_start), lanes2(packed.mcu_count),
-                     tables.lentab, tables.values, *bank_args)
+    coeffs, err = fn(words, lanes2(arg("img_base", packed.img_base)),
+                     lanes2(arg("mcu_start", packed.mcu_start)),
+                     lanes2(arg("mcu_count", packed.mcu_count)),
+                     lentab, values, *bank_args)
     return coeffs, err, geom
 
 

@@ -316,10 +316,6 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     else:
         packed = de.pack_segments(params_list, total_blocks, dense=True,
                                   mcu_range=mcu_range, bank_of=bank_of)
-    coeffs_flat, err, geom = de.decode_coefficients_on_device(
-        params_list, tables, packed, batch=batch)
-    lane_img = (packed.img_base // max(total_blocks, 1)).astype(np.int32)
-
     qy_rows, qu_rows, qv_rows = [], [], []
     for p in params_list:
         for rows, ci in ((qy_rows, 0), (qu_rows, 1), (qv_rows, 2)):
@@ -334,14 +330,40 @@ def decode_group_device_entropy(params_list, output_format: OutputFormat,
     qu = np.stack(qu_rows)
     qv = np.stack(qv_rows)
 
+    # Bundle EVERY per-call array — including the dense word stream — into
+    # ONE host->device transfer (the tunneled link pays ~30 ms latency PER
+    # transfer; see de.stage_small_args). Folding the big payload in costs
+    # one extra host memcpy (~12 ms for an 84 MB batch) and saves a whole
+    # round-trip; on direct-attached hardware it is a wash.
+    to_stage = [("mcu_start", packed.mcu_start),
+                ("mcu_count", packed.mcu_count),
+                ("img_base", packed.img_base),
+                ("lentab", tables.lentab), ("values", tables.values),
+                ("qy", qy), ("qu", qu), ("qv", qv)]
+    if getattr(packed, "word_off", None) is not None:
+        to_stage += [("word_off", packed.word_off),
+                     ("dense", packed.dense)]
+    elif getattr(packed, "words", None) is not None:
+        to_stage.append(("words", packed.words))
+    if getattr(tables, "n_banks", 1) > 1:
+        to_stage.append(("lane_bank", packed.lane_bank))
+    if dc_flat is not None:
+        to_stage += [("dc_flat", dc_flat), ("lane_of_mcu", lane_of_mcu)]
+    staged = de.stage_small_args(to_stage)
+
+    coeffs_flat, err, geom = de.decode_coefficients_on_device(
+        params_list, tables, packed, batch=batch, dev=staged)
+    lane_img = (packed.img_base // max(total_blocks, 1)).astype(np.int32)
+
     crop_key = (crop.left, crop.top, crop.right, crop.bottom) if crop else None
     fn = _transform_from_flat(geom, css, p0.picture_width, p0.picture_height,
                               OutputFormat(output_format), crop_key,
                               dc_flat is not None)
     if dc_flat is not None:
-        outs = fn(coeffs_flat, qy, qu, qv, dc_flat, lane_of_mcu)
+        outs = fn(coeffs_flat, staged["qy"], staged["qu"], staged["qv"],
+                  staged["dc_flat"], staged["lane_of_mcu"])
     else:
-        outs = fn(coeffs_flat, qy, qu, qv)
+        outs = fn(coeffs_flat, staged["qy"], staged["qu"], staged["qv"])
     pitches = output_pitches(css, p0.picture_width, p0.picture_height,
                              output_format, crop)
     per_image = []

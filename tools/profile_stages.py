@@ -103,14 +103,19 @@ def leg_mug():
                  + packed.mcu_count.nbytes + dc_flat.nbytes
                  + lane_of_mcu.nbytes)
 
+    # The shipping path bundles ALL of these into ONE transfer
+    # (de.stage_small_args; the tunnel charges ~30 ms latency per
+    # transfer, so 7 separate puts used to cost more than the bytes).
     def do_h2d():
-        arrs = [jax.device_put(x) for x in
-                (packed.dense, packed.word_off, packed.img_base,
-                 packed.mcu_start, packed.mcu_count, dc_flat, lane_of_mcu)]
-        jax.block_until_ready(arrs)
+        staged = de.stage_small_args([
+            ("dense", packed.dense), ("word_off", packed.word_off),
+            ("img_base", packed.img_base), ("mcu_start", packed.mcu_start),
+            ("mcu_count", packed.mcu_count), ("dc_flat", dc_flat),
+            ("lane_of_mcu", lane_of_mcu)])
+        jax.block_until_ready(tuple(staged.values()))
 
     stages["h2d"] = {"ms": med(do_h2d) * 1e3, "bytes": h2d_bytes,
-                     "host_cores": 1}
+                     "host_cores": 1, "note": "one bundled transfer"}
 
     # device: expand + wave + scatter with PRE-STAGED inputs (pure device)
     import dataclasses
@@ -180,13 +185,13 @@ def leg_headline():
     packed = de.pack_segments(plist, geom.total_blocks, dense=True)
 
     def do_h2d():
-        arrs = [jax.device_put(packed.dense),
-                jax.device_put(packed.word_off)]
-        jax.block_until_ready(arrs)
+        staged = de.stage_small_args([
+            ("dense", packed.dense), ("word_off", packed.word_off)])
+        jax.block_until_ready(tuple(staged.values()))
 
     stages["h2d"] = {"ms": med(do_h2d) * 1e3,
                      "bytes": packed.dense.nbytes + packed.word_off.nbytes,
-                     "host_cores": 1}
+                     "host_cores": 1, "note": "one bundled transfer"}
 
     import dataclasses
     packed_dev = dataclasses.replace(packed,
