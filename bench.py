@@ -353,6 +353,34 @@ def main():
 
     if leg is None and run_extras:
         # Orchestrator: one subprocess per leg (see run_leg_subprocess).
+        # First, record the transport regime serving this run: the tunnel's
+        # per-process H2D budget/burst rate varies by hours (shared
+        # tenancy), and a recorded leg value is only interpretable next to
+        # the link state that produced it (docs/performance.md "Transport
+        # budget"). The probe runs in its own subprocess — its budget burn
+        # does not touch any leg's.
+        tunnel = None
+        try:
+            import subprocess
+            env = dict(os.environ)
+            env["PROBE_MAX_PUTS"] = "6"
+            env["TUNNEL_OUT"] = "/dev/null"
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "probe_tunnel.py")],
+                env=env, capture_output=True, text=True, timeout=240)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    d = json.loads(line)
+                    tunnel = {"h2d_gb_s": d.get("burst_rate_gb_s"),
+                              "cliff_in_6_puts": d.get("cliff_hit")}
+                    print(f"[tunnel] burst {tunnel['h2d_gb_s']} GB/s, "
+                          f"cliff={tunnel['cliff_in_6_puts']}",
+                          file=sys.stderr)
+                    break
+        except Exception as exc:  # probe is context, never a failure
+            print(f"[tunnel] probe failed: {exc}", file=sys.stderr)
         headline = run_leg_subprocess("headline")
         result = {
             "metric": "Mpixels/sec/chip batched 4:2:0 decode",
@@ -370,6 +398,8 @@ def main():
         result["mixed_mpix_s"] = round(mixed, 1)
         rgb = run_leg_subprocess("rgb")
         result["rgb_mpix_s"] = round(rgb, 1)
+        if tunnel is not None:
+            result["tunnel"] = tunnel
         check_regressions(result)
         print(json.dumps(result))
         return

@@ -78,12 +78,20 @@ def leg_mug():
     tables, bank_of = de.DeviceScanTables.from_params_banked(plist)
 
     # index walk (unstuff fused inside; scan32 = dual 16-lane groups on ONE
-    # core when AVX-512 + batch >= 32)
+    # core when AVX-512 + batch >= 32). Pooled buffers, as the shipping
+    # path uses: fresh 75 MB record buffers per rep pay the TPU-process
+    # fault tax (~15 us/page) and would overstate the walk by ~15%.
+    from rocjpeg_tpu.runtime import native as nat
+    caps = [nat.index_job_capacities(p, S) for p in plist]
+    _tok, bufs = de._IDX_BUF_POOL.acquire(
+        B, max(c[0] for c in caps), max(c[1] for c in caps))
     if B >= 32 and getattr(native, "index_scan16_available", lambda: 0)():
-        walk = med(lambda: [native.index_scan32(plist[i:i + 32], S)
+        walk = med(lambda: [native.index_scan32(plist[i:i + 32], S,
+                                                bufs[i:i + 32])
                             for i in range(0, B, 32)])
     else:
-        walk = med(lambda: native.index_scan8(plist[:8], S)) * (B / 8)
+        walk = med(lambda: native.index_scan8(plist[:8], S, bufs[:8])) \
+            * (B / 8)
     stages["unstuff+walk"] = {"ms": walk * 1e3, "host_cores": 1}
 
     # full host pack (walk + pack_bits + numpy bookkeeping), single caller
