@@ -338,13 +338,15 @@ def main():
     entropy_mode = os.environ.get("BENCH_ENTROPY", "auto")
     # Host threads submitting batches concurrently (the jpegDecodePerf
     # model, samples/jpegDecodePerf/jpegdecodeperf.cpp:228-258). Per-leg
-    # defaults from the median-of-3 sweep (THREADS_r05.json): the
+    # defaults from the fresh-process sweeps (THREADS_r05.json): the
     # restart-path legs keep improving to 4 threads (more overlap of pack/
-    # H2D under the depth-2 device throttle), while the DRI=0 legs are
-    # host-walk-bound on this 2-core VM and peak at 2 (3-4 threads just
-    # contend for the walk's cores).
+    # H2D under the depth-2 device throttle). The DRI=0 legs peaked at 2
+    # pre-staging (pure walk contention on the 2-core VM); with the
+    # bundled single-upload path a THIRD thread now wins on both (it hides
+    # the staging transfer's latency while two threads walk) — re-swept
+    # post-staging: mug 604/935/840 and dri0 3885/4710 at 2/3(/4) threads.
     leg0 = os.environ.get("BENCH_LEG") or "headline"
-    default_threads = "2" if leg0 in ("mug", "dri0") else "4"
+    default_threads = "3" if leg0 in ("mug", "dri0") else "4"
     n_threads = int(os.environ.get("BENCH_THREADS", default_threads))
     # Extra legs (dri0 / mug) can be skipped for quick iteration.
     run_extras = os.environ.get("BENCH_EXTRAS", "1") != "0"
