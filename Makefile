@@ -44,7 +44,7 @@ test-asan: native-asan
 	LD_PRELOAD=$(ASAN_RT) ASAN_OPTIONS=detect_leaks=0 \
 	ROCJPEG_HOST_LIB=$(CURDIR)/$(ASAN_LIB) \
 	python -m pytest tests/test_native.py tests/test_native_fuzz.py \
-	    tests/test_parser.py -q
+	    tests/test_parser.py tests/test_native_geometry.py -q
 
 $(CAPI_LIB): csrc/rocjpeg_capi.cpp include/rocjpeg_tpu.h
 	@mkdir -p build
