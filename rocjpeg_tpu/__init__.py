@@ -25,4 +25,4 @@ from .status import RocJpegError, Status, get_error_name
 from .types import (Backend, ChromaSubsampling, CropRectangle, DecodedImage,
                     DecodeParams, ImageInfo, OutputFormat, TpuDecodeSpec)
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
